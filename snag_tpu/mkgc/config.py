@@ -1,0 +1,78 @@
+"""MKGC configuration (reference: SNAG_MKGC/readme.md).
+
+CLI contract (readme.md:13-14):
+  run_base.sh GPU DATA num_proj use_intermediate joint_way noise_ratio
+              mask_ratio noise_level num_hidden_layers num_attention_heads EXP_ID
+Defaults (readme.md:38-48): EMB_DIM=128, NUM_BATCH=1024, MARGIN=12,
+LR=LRG=1e-4, NEG_NUM=32, EPOCH=8000 (early stop), NOISE=1, POOL=1.
+"""
+
+from __future__ import annotations
+
+import argparse
+import dataclasses
+from dataclasses import dataclass
+
+JOINT_WAYS = ["Mformer_hd_mean", "Mformer_hd_graph", "Mformer_weight",
+              "atten_weight", "learnable_weight"]
+MKGC_DATASETS = ["DB15K", "MKG-W", "MKG-Y", "SYNTH"]
+
+
+@dataclass
+class MKGCConfig:
+    gpu: int = 0
+    data_choice: str = "DB15K"
+    data_path: str = "mkgc_data"
+    exp_id: str = "K001"
+    random_seed: int = 3407
+
+    num_proj: int = 1                  # 1 shared / 2 per-purpose projections
+    use_intermediate: int = 0
+    joint_way: str = "Mformer_hd_mean"
+    noise_ratio: float = 0.2
+    mask_ratio: float = 0.7
+    noise_update: str = "epoch"        # epoch | step  (noise_level)
+    num_hidden_layers: int = 1
+    num_attention_heads: int = 2
+
+    emb_dim: int = 128
+    num_batch: int = 1024              # batches per epoch (OpenKE-style)
+    margin: float = 12.0
+    lr: float = 1e-4                   # main model group
+    lrg: float = 1e-4                  # fusion/generator group (LRG)
+    neg_num: int = 32
+    epoch: int = 8000
+    add_noise: int = 1
+    use_pool: int = 1
+    pool_dim: int = 256                # pooled feature width when use_pool
+
+    intermediate_size: int = 512
+    eval_epoch: int = 50
+    early_stop_patience: int = 10      # non-improving evals before stop
+    valid_max: int = 2000              # cap valid triples used for early stop
+    log_every: int = 25
+
+    # synthetic dataset knobs
+    synth_ents: int = 200
+    synth_rels: int = 16
+    synth_triples: int = 1500
+    synth_vis_dim: int = 64
+    synth_txt_dim: int = 48
+
+
+def build_mkgc_argparser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser("snag_tpu MKGC trainer")
+    d = MKGCConfig()
+    for f in dataclasses.fields(MKGCConfig):
+        if f.type in ("int", int):
+            p.add_argument(f"--{f.name}", type=int, default=getattr(d, f.name))
+        elif f.type in ("float", float):
+            p.add_argument(f"--{f.name}", type=float, default=getattr(d, f.name))
+        else:
+            p.add_argument(f"--{f.name}", type=str, default=getattr(d, f.name))
+    return p
+
+
+def mkgc_config_from_args(args: argparse.Namespace) -> MKGCConfig:
+    known = {f.name for f in dataclasses.fields(MKGCConfig)}
+    return MKGCConfig(**{k: v for k, v in vars(args).items() if k in known})

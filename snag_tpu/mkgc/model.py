@@ -1,0 +1,161 @@
+"""MKGC model: multi-modal TransE-style link prediction with SNAG fusion.
+
+Rebuilt to the readme contract (SNAG_MKGC/readme.md; architecture details
+from the paper arXiv:2403.06832 and the shared MMEA fusion code):
+
+* entity/relation embeddings (EMB_DIM=128) + visual/textual feature
+  projections (optionally average-pooled to a uniform width, ``use_pool``);
+* ``num_proj``: 1 = one shared modality-projection stack; 2 = separate
+  stacks for the head-role and tail-role entity representations;
+* ``joint_way`` fusion variants over the 3 modality tokens
+  [structure, visual, textual]:
+    - Mformer_hd_mean   mean of the fusion transformer's output tokens
+    - Mformer_hd_graph  the structure token's output
+    - Mformer_weight    attention-derived weights x normalized input embs
+    - atten_weight      per-entity learned gate weights (no transformer)
+    - learnable_weight  global softmax weights (MCLEA-style)
+* margin-based ranking against NEG_NUM sampled corruptions, fused into one
+  batched matmul/distance computation per step (the BASELINE.json
+  "negative sampling + margin ranking in one batched kernel" north star).
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple, Optional, Tuple
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from snag_tpu.mkgc.config import MKGCConfig
+from snag_tpu.ops import inits, noise as noise_ops
+from snag_tpu.ops.fusion import BertLayer, l2norm, _tdense
+
+
+def avg_pool_features(x: np.ndarray, out_dim: int) -> np.ndarray:
+    """Host-side 1D average pooling to a uniform width (readme.md:36
+    ``use_pool``)."""
+    d = x.shape[1]
+    if d <= out_dim:
+        return x.astype(np.float32)
+    win = -(-d // out_dim)
+    pad = win * out_dim - d
+    xp = np.pad(x, ((0, 0), (0, pad)))
+    return xp.reshape(x.shape[0], out_dim, win).mean(axis=2).astype(np.float32)
+
+
+class MKGCFeatures(NamedTuple):
+    visual: jnp.ndarray    # (E, dv)
+    textual: jnp.ndarray   # (E, dt)
+
+
+class MKGCModel(nn.Module):
+    cfg: MKGCConfig
+    ent_num: int
+    rel_num: int
+    vis_dim: int
+    txt_dim: int
+
+    def setup(self):
+        cfg = self.cfg
+        d = cfg.emb_dim
+        self.ent_emb = self.param("ent_emb", inits.xavier_normal(),
+                                  (self.ent_num, d))
+        self.rel_emb = self.param("rel_emb", inits.xavier_normal(),
+                                  (self.rel_num, d))
+        self.vis_proj = _tdense(d, self.vis_dim, "vis_proj")
+        self.txt_proj = _tdense(d, self.txt_dim, "txt_proj")
+        if cfg.num_proj == 2:
+            self.vis_proj2 = _tdense(d, self.vis_dim, "vis_proj2")
+            self.txt_proj2 = _tdense(d, self.txt_dim, "txt_proj2")
+
+        if cfg.joint_way.startswith("Mformer"):
+            self.fusion_layers = [
+                BertLayer(hidden_size=d, num_heads=cfg.num_attention_heads,
+                          intermediate_size=cfg.intermediate_size,
+                          use_intermediate=bool(cfg.use_intermediate),
+                          name=f"fusion_{i}")
+                for i in range(cfg.num_hidden_layers)]
+        elif cfg.joint_way == "atten_weight":
+            self.gate = _tdense(1, d, "gate")
+        elif cfg.joint_way == "learnable_weight":
+            self.modal_weight = self.param("modal_weight",
+                                           nn.initializers.ones, (3,))
+
+    def _modal_tokens(self, idx, feats: MKGCFeatures, role: int,
+                      deterministic: bool):
+        """(B, 3, d) modality tokens for entities ``idx``; role selects the
+        projection stack when num_proj == 2 (0 = head, 1 = tail)."""
+        vis_p, txt_p = self.vis_proj, self.txt_proj
+        if self.cfg.num_proj == 2 and role == 1:
+            vis_p, txt_p = self.vis_proj2, self.txt_proj2
+        gph = self.ent_emb[idx]
+        vis = vis_p(feats.visual[idx])
+        txt = txt_p(feats.textual[idx])
+        return jnp.stack([gph, vis, txt], axis=1)
+
+    def joint(self, idx, feats: MKGCFeatures, role: int = 0,
+              deterministic: bool = True) -> jnp.ndarray:
+        """Fused (B, d) entity representation per ``joint_way``."""
+        cfg = self.cfg
+        tokens = self._modal_tokens(idx, feats, role, deterministic)
+
+        if cfg.joint_way.startswith("Mformer"):
+            hidden = tokens
+            probs = None
+            for layer in self.fusion_layers:
+                hidden, probs = layer(hidden, deterministic=deterministic)
+            if cfg.joint_way == "Mformer_hd_mean":
+                out = hidden.mean(axis=1)
+            elif cfg.joint_way == "Mformer_hd_graph":
+                out = hidden[:, 0, :]
+            else:
+                # Mformer_weight: attention-derived weights over input embs
+                attention_pro = probs.sum(axis=1).sum(axis=-2) / np.sqrt(
+                    3 * cfg.num_attention_heads)
+                w = jax.nn.softmax(attention_pro, axis=-1)      # (B, 3)
+                out = jnp.einsum("bm,bmd->bd", w, l2norm(tokens, axis=-1))
+        elif cfg.joint_way == "atten_weight":
+            w = jax.nn.softmax(self.gate(tokens).squeeze(-1), axis=-1)
+            out = jnp.einsum("bm,bmd->bd", w, l2norm(tokens, axis=-1))
+        else:  # learnable_weight
+            w = jax.nn.softmax(self.modal_weight, axis=0)
+            out = jnp.einsum("m,bmd->bd", w, l2norm(tokens, axis=-1))
+
+        # unit-norm joint representation: the TransE-style margin objective
+        # degenerates without an entity-norm constraint (unconstrained "hub"
+        # entities collapse toward every query) — standard TransE practice.
+        return l2norm(out)
+
+    def __call__(self, pos: jnp.ndarray, neg_h: jnp.ndarray,
+                 neg_t: jnp.ndarray, feats: MKGCFeatures,
+                 deterministic: bool = False):
+        """Margin ranking loss.
+
+        pos: (B, 3) triples; neg_h/neg_t: (B, K) corrupted head/tail ids.
+        Corruption side is decided by the sampler; one of neg_h[b,k] or
+        neg_t[b,k] differs from the positive.
+        """
+        cfg = self.cfg
+        b, k = neg_h.shape
+        h = self.joint(pos[:, 0], feats, role=0, deterministic=deterministic)
+        t = self.joint(pos[:, 2], feats, role=1, deterministic=deterministic)
+        r = self.rel_emb[pos[:, 1]]
+
+        nh = self.joint(neg_h.reshape(-1), feats, role=0,
+                        deterministic=deterministic).reshape(b, k, -1)
+        nt = self.joint(neg_t.reshape(-1), feats, role=1,
+                        deterministic=deterministic).reshape(b, k, -1)
+
+        def dist(x, rel, y):
+            return jnp.linalg.norm(x + rel - y, axis=-1)
+
+        d_pos = dist(h, r, t)                                   # (B,)
+        d_neg = dist(nh, r[:, None, :], nt)                     # (B, K)
+        loss = jnp.maximum(cfg.margin + d_pos[:, None] - d_neg, 0.0).mean()
+        return loss, {"d_pos": d_pos.mean(), "d_neg": d_neg.mean()}
+
+    def all_joint(self, feats: MKGCFeatures, role: int = 0) -> jnp.ndarray:
+        idx = jnp.arange(self.ent_num)
+        return self.joint(idx, feats, role=role, deterministic=True)

@@ -1,0 +1,271 @@
+"""MKGC trainer: jitted margin-ranking steps + filtered full-entity eval.
+
+Training loop contract from SNAG_MKGC/readme.md: NUM_BATCH batches per
+epoch over shuffled train triples, NEG_NUM uniform corruptions per positive
+(head xor tail), Adam with two LR groups (LR for the embedding/KGE params,
+LRG for the fusion/projection stack), Gaussian noise-masking of the
+visual/textual tables at epoch or step cadence, early stopping on valid
+MRR, final filtered MRR/Hits@{1,3,10} on test.
+"""
+
+from __future__ import annotations
+
+import time
+from functools import partial
+from typing import Optional, Tuple
+
+import flax.struct
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from snag_tpu.mkgc.config import MKGCConfig
+from snag_tpu.mkgc.data import MKGCData
+from snag_tpu.mkgc.model import MKGCFeatures, MKGCModel, avg_pool_features
+from snag_tpu.ops import noise as noise_ops
+
+
+@flax.struct.dataclass
+class MKGCState:
+    params: any
+    opt_state: any
+    step: jnp.ndarray
+    base_key: jax.Array
+
+
+def prepare_mkgc_features(cfg: MKGCConfig, data: MKGCData) -> MKGCFeatures:
+    vis, txt = data.visual, data.textual
+    if cfg.use_pool:
+        vis = avg_pool_features(vis, cfg.pool_dim)
+        txt = avg_pool_features(txt, cfg.pool_dim)
+    return MKGCFeatures(visual=jnp.asarray(vis), textual=jnp.asarray(txt))
+
+
+def _fusion_label_tree(params):
+    """Two optimizer groups: fusion/projection stack -> LRG, rest -> LR
+    (readme.md LR vs LRG)."""
+    flat = jax.tree_util.tree_flatten_with_path(params)[0]
+
+    def label(path):
+        joined = "/".join(str(getattr(p, "key", p)) for p in path)
+        if ("fusion" in joined or "proj" in joined or "gate" in joined
+                or "modal_weight" in joined):
+            return "fusion"
+        return "main"
+
+    labels = [label(p) for p, _ in flat]
+    return jax.tree_util.tree_unflatten(
+        jax.tree_util.tree_structure(params), labels)
+
+
+def build_mkgc_optimizer(cfg: MKGCConfig, params):
+    tx = optax.multi_transform(
+        {"main": optax.adam(cfg.lr), "fusion": optax.adam(cfg.lrg)},
+        _fusion_label_tree(params))
+    return tx
+
+
+def make_mkgc_train_step(cfg: MKGCConfig, model: MKGCModel, tx,
+                         stats_vis: noise_ops.TableStats,
+                         stats_txt: noise_ops.TableStats):
+    add_noise = bool(cfg.add_noise)
+    per_step_noise = cfg.noise_update == "step"
+
+    @jax.jit
+    def step(state: MKGCState, pos, feats: MKGCFeatures, epoch):
+        nkey_base = jax.random.fold_in(
+            state.base_key, state.step if per_step_noise else epoch)
+        if add_noise:
+            kv, kt = jax.random.split(jax.random.fold_in(nkey_base, 11))
+            feats = MKGCFeatures(
+                visual=noise_ops.noise_mask_table(
+                    kv, feats.visual, stats_vis, cfg.noise_ratio, cfg.mask_ratio),
+                textual=noise_ops.noise_mask_table(
+                    kt, feats.textual, stats_txt, cfg.noise_ratio, cfg.mask_ratio))
+
+        skey = jax.random.fold_in(state.base_key, state.step + 77777)
+        b = pos.shape[0]
+        k1, k2 = jax.random.split(skey)
+        corrupt_head = jax.random.bernoulli(k1, 0.5, (b, cfg.neg_num))
+        rand_ent = jax.random.randint(k2, (b, cfg.neg_num), 0, model.ent_num)
+        neg_h = jnp.where(corrupt_head, rand_ent, pos[:, 0:1])
+        neg_t = jnp.where(corrupt_head, pos[:, 2:3], rand_ent)
+
+        drop_key = jax.random.fold_in(state.base_key, state.step + 13)
+
+        def loss_fn(params):
+            return model.apply({"params": params}, pos, neg_h, neg_t, feats,
+                               deterministic=False,
+                               rngs={"dropout": drop_key})
+
+        (loss, aux), grads = jax.value_and_grad(loss_fn, has_aux=True)(state.params)
+        updates, new_opt = tx.update(grads, state.opt_state, state.params)
+        new_params = optax.apply_updates(state.params, updates)
+        return MKGCState(params=new_params, opt_state=new_opt,
+                         step=state.step + 1,
+                         base_key=state.base_key), loss, aux
+
+    return step
+
+
+def make_score_fn(model: MKGCModel):
+    """Jitted chunk scorer: distances of (chunk of queries) against all
+    entities, both directions."""
+
+    @jax.jit
+    def all_embs(params, feats):
+        jh = model.apply({"params": params}, feats, role=0,
+                         method=MKGCModel.all_joint)
+        jt = model.apply({"params": params}, feats, role=1,
+                         method=MKGCModel.all_joint)
+        return jh, jt
+
+    @jax.jit
+    def tail_scores(params, jh, jt, triples):
+        r = params["rel_emb"][triples[:, 1]]
+        q = jh[triples[:, 0]] + r                        # (C, d)
+        return jnp.linalg.norm(q[:, None, :] - jt[None, :, :], axis=-1)
+
+    @jax.jit
+    def head_scores(params, jh, jt, triples):
+        r = params["rel_emb"][triples[:, 1]]
+        q = jt[triples[:, 2]] - r
+        return jnp.linalg.norm(jh[None, :, :] - q[:, None, :], axis=-1)
+
+    return all_embs, tail_scores, head_scores
+
+
+def filtered_ranks(cfg: MKGCConfig, model, params, feats, data: MKGCData,
+                   triples: np.ndarray, chunk: int = 256):
+    """Filtered link-prediction ranks for both directions."""
+    all_embs, tail_scores, head_scores = make_score_fn(model)
+    jh, jt = all_embs(params, feats)
+
+    ranks = []
+    for direction in ("tail", "head"):
+        score_fn = tail_scores if direction == "tail" else head_scores
+        gold_col = 2 if direction == "tail" else 0
+        for i in range(0, len(triples), chunk):
+            part = triples[i:i + chunk]
+            n = len(part)
+            if n < chunk:
+                part = np.vstack([part, np.tile(part[-1], (chunk - n, 1))])
+            scores = np.asarray(score_fn(params, jh, jt, jnp.asarray(part)))
+            # host-side filter mask for known-true candidates
+            for j in range(n):
+                h, r, t = (int(x) for x in part[j])
+                if direction == "tail":
+                    filt = data.hr_to_t.get((h, r), [])
+                    gold = t
+                else:
+                    filt = data.rt_to_h.get((r, t), [])
+                    gold = h
+                row = scores[j]
+                gold_score = row[gold]
+                row_f = row.copy()
+                if filt:
+                    row_f[np.asarray(filt)] = np.inf
+                rank = int((row_f < gold_score).sum()) + 1
+                ranks.append(rank)
+    return np.asarray(ranks)
+
+
+def summarize_lp(ranks: np.ndarray):
+    return {
+        "mrr": float((1.0 / ranks).mean()),
+        "hits1": float((ranks <= 1).mean()),
+        "hits3": float((ranks <= 3).mean()),
+        "hits10": float((ranks <= 10).mean()),
+        "mr": float(ranks.mean()),
+    }
+
+
+class MKGCRunner:
+    def __init__(self, cfg: MKGCConfig, logger, data: Optional[MKGCData] = None):
+        from snag_tpu.mkgc.data import load_mkgc_data
+        self.cfg = cfg
+        self.logger = logger
+        self.data = data if data is not None else load_mkgc_data(cfg, logger)
+        self.feats = prepare_mkgc_features(cfg, self.data)
+
+        self.model = MKGCModel(cfg=cfg, ent_num=self.data.ent_num,
+                               rel_num=self.data.rel_num,
+                               vis_dim=int(self.feats.visual.shape[1]),
+                               txt_dim=int(self.feats.textual.shape[1]))
+        rng = jax.random.PRNGKey(cfg.random_seed)
+        init_rng, drop_rng, base_key = jax.random.split(rng, 3)
+        dummy = jnp.zeros((2, 3), jnp.int32)
+        dneg = jnp.zeros((2, cfg.neg_num), jnp.int32)
+        variables = self.model.init({"params": init_rng, "dropout": drop_rng},
+                                    dummy, dneg, dneg, self.feats,
+                                    deterministic=True)
+        params = variables["params"]
+        self.tx = build_mkgc_optimizer(cfg, params)
+        self.state = MKGCState(params=params, opt_state=self.tx.init(params),
+                               step=jnp.zeros((), jnp.int32), base_key=base_key)
+
+        w_vis = np.setdiff1d(np.arange(self.data.ent_num),
+                             np.asarray(self.data.ent_wo_visual, dtype=np.int64))
+        stats_vis = noise_ops.table_stats(self.feats.visual,
+                                          jnp.asarray(w_vis.astype(np.int32)))
+        stats_txt = noise_ops.table_stats(self.feats.textual)
+        self.train_step = make_mkgc_train_step(cfg, self.model, self.tx,
+                                               stats_vis, stats_txt)
+
+        self.batch_size = max(1, len(self.data.train) // cfg.num_batch)
+        self.best_mrr = 0.0
+        self.best_params = None
+        self.bad_evals = 0
+
+    def train_epoch(self, epoch: int) -> float:
+        perm = np.random.permutation(len(self.data.train))
+        data = self.data.train[perm]
+        b = self.batch_size
+        total, nb = 0.0, 0
+        n_full = (len(data) // b) * b
+        for i in range(0, n_full, b):
+            pos = jnp.asarray(data[i:i + b].astype(np.int32))
+            self.state, loss, _ = self.train_step(self.state, pos, self.feats,
+                                                  jnp.asarray(epoch))
+            total += float(loss)
+            nb += 1
+        return total / max(nb, 1)
+
+    def evaluate(self, split: str = "valid"):
+        triples = getattr(self.data, split)
+        if split == "valid" and len(triples) > self.cfg.valid_max:
+            triples = triples[:self.cfg.valid_max]
+        ranks = filtered_ranks(self.cfg, self.model, self.state.params,
+                               self.feats, self.data, triples)
+        return summarize_lp(ranks)
+
+    def run(self):
+        cfg = self.cfg
+        t0 = time.time()
+        for epoch in range(cfg.epoch):
+            loss = self.train_epoch(epoch)
+            if (epoch + 1) % cfg.log_every == 0 or epoch == 0:
+                self.logger.info(f"MKGC Ep {epoch}: loss {loss:.4f} "
+                                 f"({time.time() - t0:.1f}s)")
+            if (epoch + 1) % cfg.eval_epoch == 0:
+                m = self.evaluate("valid")
+                self.logger.info(f"MKGC Ep {epoch} valid: {m}")
+                if m["mrr"] > self.best_mrr:
+                    self.best_mrr = m["mrr"]
+                    self.best_params = jax.tree_util.tree_map(
+                        lambda x: x.copy(), self.state.params)
+                    self.bad_evals = 0
+                else:
+                    self.bad_evals += 1
+                    if self.bad_evals >= cfg.early_stop_patience:
+                        self.logger.info(f"early stop at epoch {epoch}")
+                        break
+        params = (self.best_params if self.best_params is not None
+                  else self.state.params)
+        self.state = MKGCState(params=params, opt_state=self.state.opt_state,
+                               step=self.state.step,
+                               base_key=self.state.base_key)
+        m = self.evaluate("test")
+        self.logger.info(f"MKGC test: {m}")
+        return m

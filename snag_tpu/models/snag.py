@@ -1,0 +1,138 @@
+"""SNAG — the paper's model (reference: SNAG_MMEA/model/SNAG.py).
+
+Loss bundle (SNAG.py:101-122):
+* GMI  — ICL on both joint paths (attention-weighted + frozen-weight);
+* ECIA — per-modality ICL weighted by each entity-pair's min attention
+  weight (SNAG.py:109, 143-162; SNAG_loss.py:65-71);
+* IIR  — per-modality ICL on the post-transformer hidden slices
+  (SNAG.py:112, 124-141; the slice labels follow the reference's hardcoded
+  index order, including its gph/img swap vs. the fusion input order).
+
+Each bundle runs through a Kendall multi-task layer; an optional AWL head
+combines the three (``--awloss``).  Eval embeds with the frozen-weight joint
+path (SNAG.py:178-179).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, Optional, Tuple
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from snag_tpu.config import Config
+from snag_tpu.data.graph import Graph
+from snag_tpu.losses.contrastive import icl_loss
+from snag_tpu.losses.multitask import AutomaticWeightedLoss, KendallLossLayer
+from snag_tpu.models.encoder import FeaturePack, MultiModalEncoder
+from snag_tpu.ops.fusion import l2norm
+
+# fusion input order (SNAG_tools.py:154)
+FUSION_ORDER = ("img", "att", "rel", "gph", "name", "char")
+
+
+def weight_column(cfg: Config, modality: str) -> Optional[int]:
+    """Column of ``weight_norm`` holding `modality`'s attention weight.
+
+    weight_norm columns follow the *active* fusion-input order; this mapping
+    reduces to the reference's hardcoded indices (SNAG.py:147-152) for every
+    shippable config."""
+    active = [m for m in FUSION_ORDER
+              if {"img": cfg.w_img, "att": cfg.w_attr, "rel": cfg.w_rel,
+                  "gph": cfg.w_gcn, "name": cfg.w_name, "char": cfg.w_char}[m]]
+    return active.index(modality) if modality in active else None
+
+
+class SNAG(nn.Module):
+    cfg: Config
+    ent_num: int
+    img_feature_dim: int
+    attr_input_dim: int
+    char_feature_dim: int
+
+    @classmethod
+    def from_data(cls, cfg: Config, data) -> "SNAG":
+        return cls(cfg=cfg, ent_num=data.ent_num,
+                   img_feature_dim=data.img_dim,
+                   attr_input_dim=int(data.att_features.shape[1]),
+                   char_feature_dim=data.char_dim)
+
+    def setup(self):
+        self.multimodal_encoder = MultiModalEncoder(
+            cfg=self.cfg, ent_num=self.ent_num,
+            img_feature_dim=self.img_feature_dim,
+            attr_input_dim=self.attr_input_dim,
+            char_feature_dim=self.char_feature_dim,
+            fusion_kind="mformer")
+        self.multi_loss_layer = KendallLossLayer(loss_num=6)
+        self.multi_loss_layer_2 = AutomaticWeightedLoss(num=7)
+
+    def generate_hidden_emb(self, hidden: jnp.ndarray):
+        """Fixed-slice extraction (SNAG.py:124-141)."""
+        cfg = self.cfg
+        gph = l2norm(hidden[:, 0, :])
+        rel = l2norm(hidden[:, 1, :])
+        att = l2norm(hidden[:, 2, :])
+        img = l2norm(hidden[:, 3, :]) if cfg.w_img else None
+        if hidden.shape[1] >= 6:
+            name = l2norm(hidden[:, 4, :])
+            char = l2norm(hidden[:, 5, :])
+        else:
+            name = char = None
+        return gph, rel, att, img, name, char
+
+    def inner_view_loss(self, gph, rel, att, img, name, char, links, valid,
+                        weight_norm=None):
+        """Per-modality ICL through the Kendall layer (SNAG.py:143-162)."""
+        cfg = self.cfg
+
+        def one(emb, modality):
+            if emb is None:
+                return 0.0
+            w = None
+            if weight_norm is not None:
+                col = weight_column(cfg, modality)
+                if col is not None:
+                    # reference scales weights by mod_num (SNAG.py:146)
+                    w = weight_norm[:, col] * weight_norm.shape[1]
+            return icl_loss(emb, links, tau=cfg.tau, ab_weight=cfg.ab_weight,
+                            weight_norm=w, valid=valid)
+
+        losses = [one(gph, "gph"), one(rel, "rel"), one(att, "att"),
+                  one(img, "img"), one(name, "name"), one(char, "char")]
+        return self.multi_loss_layer(losses)
+
+    def __call__(self, links, valid, feats: FeaturePack, graph: Graph,
+                 entity_noise_key: Optional[jax.Array] = None,
+                 deterministic: bool = False):
+        cfg = self.cfg
+        enc = self.multimodal_encoder(feats, graph, entity_noise_key,
+                                      deterministic=deterministic)
+        hid = self.generate_hidden_emb(enc.hidden)
+        gph_h, rel_h, att_h, img_h, name_h, char_h = hid
+
+        gmi = (icl_loss(enc.joint, links, tau=cfg.tau, ab_weight=cfg.ab_weight,
+                        valid=valid)
+               + icl_loss(enc.joint_fz, links, tau=cfg.tau,
+                          ab_weight=cfg.ab_weight, valid=valid))
+        ecia = self.inner_view_loss(enc.gph, enc.rel, enc.att, enc.img,
+                                    enc.name, enc.char, links, valid,
+                                    weight_norm=enc.weight_norm)
+        iir = self.inner_view_loss(gph_h, rel_h, att_h, img_h, name_h, char_h,
+                                   links, valid)
+
+        loss_list = [gmi, ecia, iir]
+        if cfg.awloss:
+            loss_all = self.multi_loss_layer_2(loss_list)
+        else:
+            loss_all = sum(loss_list)
+
+        aux = {"joint_Intra_modal": gmi, "Intra_modal": ecia, "IIR_loss": iir,
+               "weight_norm": jax.lax.stop_gradient(enc.weight_norm.mean(axis=0))}
+        return loss_all, aux
+
+    def joint_emb(self, feats: FeaturePack, graph: Graph):
+        """Eval/IL embedding: frozen-weight joint path (SNAG.py:178-179)."""
+        enc = self.multimodal_encoder(feats, graph, None, deterministic=True)
+        return enc.joint_fz, enc.weight_norm

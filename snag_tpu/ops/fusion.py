@@ -1,0 +1,199 @@
+"""Modality fusion modules.
+
+* ``MformerFusion`` — the SNAG/MEAformer fusion transformer over per-entity
+  modality tokens (reference: SNAG_MMEA/model/SNAG_tools.py:23-51 fusion
+  head, :158-298 BertLayer stack; MEAformer variant has no frozen-weight
+  path, MEAformer_tools.py:25-72).
+* ``MeanFusion``    — MCLEA's learnable-softmax weighted mean
+  (MCLEA_tools.py:20-38).
+* ``WeightedConcatFusion`` — EVA's detached weighted concat (EVA.py:146-165).
+
+The token axis is tiny (M = 3–6); the hot dimension is N_ent.  Everything is
+expressed as batched dense ops so XLA tiles the (N, M, d) tensors onto the
+MXU; a fused Pallas path for the full layer stack lives in ops/pallas/.
+"""
+
+from __future__ import annotations
+
+from typing import List, Optional, Tuple
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from snag_tpu.ops import inits
+
+
+def l2norm(x: jnp.ndarray, axis: int = -1, eps: float = 1e-12) -> jnp.ndarray:
+    """torch F.normalize semantics (norm clamped at eps)."""
+    n = jnp.linalg.norm(x, axis=axis, keepdims=True)
+    return x / jnp.maximum(n, eps)
+
+
+def _tdense(features: int, in_features: int, name: str, dtype=jnp.float32):
+    return nn.Dense(
+        features, name=name, dtype=dtype,
+        kernel_init=inits.torch_linear_kernel,
+        bias_init=inits.torch_linear_bias(in_features))
+
+
+class BertSelfAttention(nn.Module):
+    """Multi-head self-attention over the modality-token axis
+    (SNAG_tools.py:158-209; dropout 0.1 hardcoded there)."""
+    hidden_size: int
+    num_heads: int
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, hidden, *, deterministic: bool = True):
+        d, H = self.hidden_size, self.num_heads
+        assert d % H == 0
+        dh = d // H
+        N, M, _ = hidden.shape
+
+        q = _tdense(d, d, "query", self.dtype)(hidden)
+        k = _tdense(d, d, "key", self.dtype)(hidden)
+        v = _tdense(d, d, "value", self.dtype)(hidden)
+
+        def split(x):  # (N, M, d) -> (N, H, M, dh)
+            return x.reshape(N, M, H, dh).transpose(0, 2, 1, 3)
+
+        q, k, v = split(q), split(k), split(v)
+        scores = jnp.einsum("nhqd,nhkd->nhqk", q, k,
+                            preferred_element_type=jnp.float32) / np.sqrt(dh)
+        probs = jax.nn.softmax(scores, axis=-1)
+        probs_dropped = nn.Dropout(0.1)(probs, deterministic=deterministic)
+        ctx = jnp.einsum("nhqk,nhkd->nhqd", probs_dropped.astype(v.dtype), v,
+                         preferred_element_type=jnp.float32)
+        ctx = ctx.transpose(0, 2, 1, 3).reshape(N, M, d)
+        return ctx, probs
+
+
+class BertLayer(nn.Module):
+    """Attention + residual LN (+ optional GELU intermediate) block
+    (SNAG_tools.py:268-298); LN eps 1e-12, dropouts 0.1."""
+    hidden_size: int
+    num_heads: int
+    intermediate_size: int
+    use_intermediate: bool = True
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, hidden, *, deterministic: bool = True):
+        ctx, probs = BertSelfAttention(
+            self.hidden_size, self.num_heads, self.dtype, name="self")(
+                hidden, deterministic=deterministic)
+        ctx = _tdense(self.hidden_size, self.hidden_size, "att_out", self.dtype)(ctx)
+        ctx = nn.Dropout(0.1)(ctx, deterministic=deterministic)
+        attention_output = nn.LayerNorm(epsilon=1e-12, name="att_ln")(ctx + hidden)
+
+        if not self.use_intermediate:
+            return attention_output, probs
+
+        inter = _tdense(self.intermediate_size, self.hidden_size,
+                        "intermediate", self.dtype)(attention_output)
+        inter = nn.gelu(inter, approximate=False)
+        out = _tdense(self.hidden_size, self.intermediate_size,
+                      "output", self.dtype)(inter)
+        out = nn.Dropout(0.1)(out, deterministic=deterministic)
+        out = nn.LayerNorm(epsilon=1e-12, name="out_ln")(out + attention_output)
+        return out, probs
+
+
+class MformerFusion(nn.Module):
+    """SNAG fusion: transformer over modality tokens + two joint paths.
+
+    Returns (joint_emb, joint_emb_fz, hidden_states, weight_norm):
+    * ``weight_norm``  — per-entity modality weights from the last layer's
+      attention: softmax(sum_heads sum_queries attn / sqrt(M*H))
+      (SNAG_tools.py:41-43);
+    * ``joint_emb``    — attention-weighted concat of normalized input embs;
+    * ``joint_emb_fz`` — global learnable-weight path via ``weight_raw``
+      (softmax over the full 6-slot vector, SNAG_tools.py:46-49).  Pass
+      ``with_fz=False`` for the MEAformer variant (single path).
+    """
+    hidden_size: int
+    num_heads: int
+    num_layers: int
+    intermediate_size: int
+    use_intermediate: bool = True
+    with_fz: bool = True
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, embs: List[Optional[jnp.ndarray]], *,
+                 deterministic: bool = True):
+        active = [e for e in embs if e is not None]
+        modal_num = len(active)
+        hidden = jnp.stack(active, axis=1)  # (N, M, d)
+
+        probs = None
+        for i in range(self.num_layers):
+            hidden, probs = BertLayer(
+                self.hidden_size, self.num_heads, self.intermediate_size,
+                self.use_intermediate, self.dtype, name=f"layer_{i}")(
+                    hidden, deterministic=deterministic)
+
+        # attention-derived per-entity modality weights (pre-dropout probs)
+        attention_pro = probs.sum(axis=1)            # (N, M, M) sum heads
+        attention_pro_comb = attention_pro.sum(axis=-2) / np.sqrt(
+            modal_num * self.num_heads)              # (N, M) sum queries
+        weight_norm = jax.nn.softmax(attention_pro_comb, axis=-1)
+
+        normed = [l2norm(e) for e in active]
+        joint_emb = jnp.concatenate(
+            [weight_norm[:, i:i + 1] * normed[i] for i in range(modal_num)],
+            axis=1)
+
+        joint_emb_fz = None
+        if self.with_fz:
+            weight_raw = self.param("weight_raw", jax.nn.initializers.ones, (6,))
+            # softmax spans all 6 slots even when fewer are active (parity
+            # with SNAG_tools.py:46: softmax over the full parameter).
+            weight_fz = jax.nn.softmax(weight_raw, axis=0)
+            joint_emb_fz = jnp.concatenate(
+                [weight_fz[i] * normed[i] for i in range(modal_num)], axis=1)
+
+        return joint_emb, joint_emb_fz, hidden, weight_norm
+
+
+class MeanFusion(nn.Module):
+    """MCLEA MultiModalFusion: softmax-weighted normalized embs, stacked and
+    mean-pooled (MCLEA_tools.py:20-38).  The softmax spans all modal_num
+    slots; inactive (None) embs are dropped after weighting, like the
+    reference list comprehension."""
+    modal_num: int
+    with_weight: int = 1
+
+    @nn.compact
+    def __call__(self, embs: List[Optional[jnp.ndarray]]):
+        weight = self.param("weight", jax.nn.initializers.ones, (self.modal_num, 1))
+        weight_norm = jax.nn.softmax(weight, axis=0)
+        parts = [weight_norm[i] * l2norm(embs[i])
+                 for i in range(self.modal_num) if embs[i] is not None]
+        hidden = jnp.stack(parts, axis=1)
+        return hidden.mean(axis=1)
+
+
+class WeightedConcatFusion(nn.Module):
+    """EVA fusion: concat of w_i * normalize(emb_i) with stop_gradient on the
+    embeddings so only the weights learn through the joint loss
+    (EVA.py:146-165)."""
+    modal_num: int
+    detach: bool = True
+
+    @nn.compact
+    def __call__(self, embs: List[Optional[jnp.ndarray]]):
+        weight_raw = self.param("weight_raw", jax.nn.initializers.ones,
+                                (self.modal_num,))
+        w = jax.nn.softmax(weight_raw, axis=0)
+        parts = []
+        for i, e in enumerate(embs):
+            if e is None:
+                continue
+            e = l2norm(e)
+            if self.detach:
+                e = jax.lax.stop_gradient(e)
+            parts.append(w[i] * e)
+        return jnp.concatenate(parts, axis=1)

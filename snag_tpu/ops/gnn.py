@@ -1,0 +1,164 @@
+"""Graph encoders: GCN and multi-head sparse GAT over padded edge lists.
+
+Semantics follow the reference layers (SNAG_MMEA/model/layers.py:35-133 and
+the 2-layer wrappers in model/Tool_model.py:61-110 / EVA_tools.py:16-63) but
+the implementation is TPU-native:
+
+* no per-head Python loop — heads are a leading vmapped axis;
+* no sparse tensors — attention/aggregation are gather + ``segment_sum``
+  over the row-sorted edge list (see ops/segment.py);
+* the attention normaliser is computed pre-dropout like the reference
+  (layers.py:81 computes e_rowsum before F.dropout on edge_e).
+"""
+
+from __future__ import annotations
+
+from typing import List, Optional
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from snag_tpu.data.graph import Graph
+from snag_tpu.ops import inits
+from snag_tpu.ops.segment import spmm
+
+
+class GraphConvolution(nn.Module):
+    """One GCN layer: out = A_norm @ (x W) + b (layers.py:102-133)."""
+    in_features: int
+    out_features: int
+    use_bias: bool = True
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, row, col, val, n_nodes):
+        stdv = 1.0 / np.sqrt(self.out_features)
+        w = self.param("weight", inits.uniform_stdv(stdv),
+                       (self.in_features, self.out_features))
+        support = jnp.dot(x.astype(self.dtype), w.astype(self.dtype),
+                          preferred_element_type=jnp.float32)
+        out = spmm(row, col, val.astype(jnp.float32), n_nodes, support)
+        if self.use_bias:
+            b = self.param("bias", inits.uniform_stdv(stdv), (self.out_features,))
+            out = out + b
+        return out
+
+
+class GCN(nn.Module):
+    """2-layer GCN: relu -> dropout -> linear (EVA_tools.py:52-63)."""
+    nfeat: int
+    nhid: int
+    nout: int
+    dropout: float = 0.0
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, graph: Graph, *, deterministic: bool = True):
+        row, col, val = graph.row, graph.col, graph.w
+        x = GraphConvolution(self.nfeat, self.nhid, dtype=self.dtype, name="gc1")(
+            x, row, col, val, graph.n_nodes)
+        x = nn.relu(x)
+        x = nn.Dropout(self.dropout)(x, deterministic=deterministic)
+        x = GraphConvolution(self.nhid, self.nout, dtype=self.dtype, name="gc2")(
+            x, row, col, val, graph.n_nodes)
+        return x
+
+
+class MultiHeadGraphAttention(nn.Module):
+    """Sparse GAT layer, all heads vectorized (layers.py:35-100).
+
+    ``diag=True`` (the only mode the shipped configs use) replaces the dense
+    projection with an elementwise per-head scale; w is ones-initialized and
+    the attention vector a ~ U(-1/sqrt(2F), 1/sqrt(2F)) as in the reference's
+    diag init path (layers.py:60-63).
+    """
+    n_head: int
+    f_in: int
+    f_out: int
+    attn_dropout: float = 0.0
+    diag: bool = True
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, graph: Graph, *, deterministic: bool = True):
+        H, F = self.n_head, self.f_out
+        row, col, mask = graph.row, graph.col, graph.mask
+        n = graph.n_nodes
+
+        if self.diag:
+            w = self.param("w", jax.nn.initializers.ones, (H, 1, F))
+            h = x[None, :, :].astype(self.dtype) * w.astype(self.dtype)  # (H, N, F)
+            stdv = 1.0 / np.sqrt(2 * F)
+            a = self.param("a_src_dst", inits.uniform_stdv(stdv), (H, 2 * F, 1))
+        else:
+            w = self.param("w", inits.xavier_uniform(), (H, self.f_in, F))
+            h = jnp.einsum("nf,hfo->hno", x.astype(self.dtype), w.astype(self.dtype),
+                           preferred_element_type=jnp.float32)
+            a = self.param("a_src_dst", inits.xavier_uniform(), (H, 2 * F, 1))
+
+        h32 = h.astype(jnp.float32)
+        a_src = a[:, :F, 0].astype(jnp.float32)   # (H, F)
+        a_dst = a[:, F:, 0].astype(jnp.float32)
+        # score of edge (i <- j): [h_i ; h_j] . a == h_i.a_src + h_j.a_dst
+        s_src = jnp.einsum("hnf,hf->hn", h32, a_src)
+        s_dst = jnp.einsum("hnf,hf->hn", h32, a_dst)
+        score = s_src[:, row] + s_dst[:, col]                 # (H, E)
+        e = jnp.exp(-nn.leaky_relu(score, negative_slope=0.2))
+        e = jnp.where(mask[None, :], e, 0.0)
+
+        # normaliser computed before attention dropout (layers.py:81-83)
+        rowsum = jax.ops.segment_sum(e.T, row, num_segments=n,
+                                     indices_are_sorted=True).T  # (H, N)
+        e = nn.Dropout(self.attn_dropout)(e, deterministic=deterministic)
+
+        weighted = e[:, :, None] * h32[:, col, :]             # (H, E, F)
+        h_prime = jax.vmap(
+            lambda we: jax.ops.segment_sum(we, row, num_segments=n,
+                                           indices_are_sorted=True))(weighted)
+        out = h_prime / (rowsum[:, :, None])
+        return out                                            # (H, N, F)
+
+
+class GAT(nn.Module):
+    """Stacked GAT with head-mean between layers (Tool_model.py:61-110)."""
+    n_units: List[int]
+    n_heads: List[int]
+    dropout: float = 0.0
+    attn_dropout: float = 0.0
+    instance_normalization: bool = False
+    diag: bool = True
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, graph: Graph, *, deterministic: bool = True):
+        num_layer = len(self.n_units) - 1
+        if self.instance_normalization:
+            # affine feature-channel normalisation standing in for torch's
+            # InstanceNorm1d(momentum=0) — unused by all shipped configs.
+            mean = x.mean(axis=0, keepdims=True)
+            var = x.var(axis=0, keepdims=True)
+            scale = self.param("in_scale", jax.nn.initializers.ones, (x.shape[1],))
+            bias = self.param("in_bias", jax.nn.initializers.zeros, (x.shape[1],))
+            x = (x - mean) / jnp.sqrt(var + 1e-5) * scale + bias
+
+        for i in range(num_layer):
+            f_in = self.n_units[i] * self.n_heads[i - 1] if i else self.n_units[i]
+            if i + 1 < num_layer:
+                x = nn.Dropout(self.dropout)(x, deterministic=deterministic)
+            x = MultiHeadGraphAttention(
+                n_head=self.n_heads[i], f_in=f_in, f_out=self.n_units[i + 1],
+                attn_dropout=self.attn_dropout, diag=self.diag,
+                dtype=self.dtype, name=f"gat_{i}")(
+                    x, graph, deterministic=deterministic)
+            if self.diag:
+                x = x.mean(axis=0)
+            if i + 1 < num_layer:
+                if self.diag:
+                    x = nn.elu(x)
+                else:
+                    x = nn.elu(x.transpose(1, 0, 2).reshape(graph.n_nodes, -1))
+        if not self.diag:
+            x = x.mean(axis=0)
+        return x

@@ -1,0 +1,84 @@
+"""SPMD runtime layer — the framework's replacement for the reference's
+dead NCCL helper (SNAG_MMEA/src/distributed_utils.py; never imported by its
+main path — SURVEY §2.10).
+
+Scaling model for this workload (entity axis is what grows, not sequence):
+
+* **entity sharding** — feature tables (N, 1000)/(N, d_img), the entity
+  embedding, GNN edge aggregation, and the fusion transformer's (N, M, d)
+  activations shard over the ``data`` mesh axis;
+* **batch sharding** — the B x B contrastive logits shard by rows; XLA
+  all-gathers the paired embeddings (local-B x global-B formulation);
+* **replicated** — model weights (tiny: a few Dense layers) are replicated;
+  gradients arrive via XLA's automatic psum.
+
+All collectives are inserted by GSPMD from sharding annotations — there is
+no hand-written communication here.  Multi-host entry is
+``jax.distributed.initialize`` + the same mesh spanning all processes.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+DATA_AXIS = "data"
+
+
+def make_mesh(n_devices: Optional[int] = None, axis: str = DATA_AXIS) -> Mesh:
+    devices = jax.devices()
+    if n_devices is not None:
+        devices = devices[:n_devices]
+    return Mesh(np.asarray(devices), (axis,))
+
+
+def replicated(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P())
+
+
+def entity_sharding(mesh: Mesh, ndim: int = 2) -> NamedSharding:
+    """Shard axis 0 (the entity or edge axis) over the data axis."""
+    return NamedSharding(mesh, P(DATA_AXIS, *([None] * (ndim - 1))))
+
+
+def batch_sharding(mesh: Mesh, ndim: int = 2) -> NamedSharding:
+    return NamedSharding(mesh, P(DATA_AXIS, *([None] * (ndim - 1))))
+
+
+def shard_kg_arrays(mesh: Mesh, feats, graph):
+    """Place feature tables and edge arrays with entity/edge-axis sharding.
+
+    Shapes must divide the mesh (build_graph pads edges; entity counts are
+    padded by callers when they want exact division — GSPMD also accepts
+    uneven shardings at a small cost).
+    """
+    def put(x, ndim_hint=None):
+        if x is None:
+            return None
+        nd = x.ndim if ndim_hint is None else ndim_hint
+        return jax.device_put(x, entity_sharding(mesh, nd))
+
+    feats = type(feats)(*[put(f) for f in feats])
+    graph = type(graph)(
+        n_nodes=graph.n_nodes, n_edges=graph.n_edges,
+        row=put(graph.row), col=put(graph.col),
+        w=put(graph.w), mask=put(graph.mask))
+    return feats, graph
+
+
+def make_sharded_train_step(step_fn, mesh: Mesh):
+    """Wrap a jitted step so batches are row-sharded over the mesh.
+
+    ``step_fn`` comes from train/step.py; we re-jit with explicit input
+    shardings for the batch operands and let GSPMD propagate everything
+    else from the placement of params/features."""
+    in_shardings = (
+        None,                      # state: keep current placement
+        batch_sharding(mesh, 2),   # links
+        batch_sharding(mesh, 1),   # valid
+        None, None, None,          # feats, graph, epoch
+    )
+    return jax.jit(step_fn, in_shardings=in_shardings)

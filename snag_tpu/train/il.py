@@ -1,0 +1,113 @@
+"""Iterative learning (semi-supervised pseudo-labeling) — device-side.
+
+Reference flow (SNAG_MMEA/model/SNAG.py:192-229 + main.py:214-237): every
+``semi_learn_step`` epochs, mutual nearest neighbours among not-yet-aligned
+entities become candidate links; a candidate must survive consecutive mining
+rounds (except on "fresh" rounds) and every ``semi_learn_step*10`` epochs the
+surviving candidates are promoted into the train set.
+
+TPU-native design: the non-train pools are fixed-capacity id arrays with
+validity masks; mining is one jitted computation (distance matrix + two
+argmins + persistence comparison) and candidate state is a single (Lc,)
+int array (right-entity id or -1).  Only the tiny promotion step touches the
+host (it must update the numpy train set and log the true-link ratio).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import List, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from snag_tpu.eval.ranking import pairwise_distances
+
+INF = 1e18
+
+
+@dataclass
+class ILState:
+    left_cand: jnp.ndarray    # (Lc,) int32 entity ids
+    left_valid: jnp.ndarray   # (Lc,) bool
+    right_cand: jnp.ndarray   # (Rc,) int32
+    right_valid: jnp.ndarray  # (Rc,) bool
+    cand_right: jnp.ndarray   # (Lc,) int32 right id in candidate set, or -1
+
+    @staticmethod
+    def init(left_non_train: List[int], right_non_train: List[int]) -> "ILState":
+        lc = np.asarray(left_non_train, dtype=np.int32)
+        rc = np.asarray(right_non_train, dtype=np.int32)
+        return ILState(
+            left_cand=jnp.asarray(lc),
+            left_valid=jnp.ones(lc.shape, dtype=bool),
+            right_cand=jnp.asarray(rc),
+            right_valid=jnp.ones(rc.shape, dtype=bool),
+            cand_right=-jnp.ones(lc.shape, dtype=jnp.int32),
+        )
+
+
+@jax.jit
+def mine_new_links(emb: jnp.ndarray, left_cand, left_valid, right_cand,
+                   right_valid, cand_right, fresh: jnp.ndarray) -> jnp.ndarray:
+    """One mining round (Iter_new_links, SNAG.py:192-208).
+
+    ``emb`` must already be L2-normalized.  ``fresh`` selects whether the
+    persistence filter applies (epoch cadence logic lives in the Runner).
+    Returns the new cand_right array.
+    """
+    d = pairwise_distances(emb[left_cand], emb[right_cand])
+    d_l = jnp.where(right_valid[None, :], d, INF)
+    d_r = jnp.where(left_valid[:, None], d, INF)
+    preds_l = jnp.argmin(d_l, axis=1)              # (Lc,) index into right_cand
+    preds_r = jnp.argmin(d_r, axis=0)              # (Rc,) index into left_cand
+
+    lc = left_cand.shape[0]
+    mutual = preds_r[preds_l] == jnp.arange(lc)
+    pair_right = right_cand[preds_l]
+    keep = mutual & left_valid & right_valid[preds_l]
+    persist = cand_right == pair_right
+    selected = keep & jnp.where(fresh, True, persist)
+    return jnp.where(selected, pair_right, -1)
+
+
+def promote_candidates(il: ILState, train_ill: np.ndarray,
+                       test_ill_set, logger) -> Tuple[ILState, np.ndarray, int]:
+    """Host-side data refresh (data_refresh, SNAG.py:210-229): append mined
+    pairs to train_ill, invalidate them in the pools, reset candidates."""
+    cand = np.asarray(il.cand_right)
+    left = np.asarray(il.left_cand)
+    lvalid = np.asarray(il.left_valid)
+    sel = (cand >= 0) & lvalid
+    if not sel.any():
+        logger.info("len(new_links) is 0")
+        return il, train_ill, 0
+
+    new_pairs = np.stack([left[sel], cand[sel]], axis=1).astype(train_ill.dtype)
+    train_ill = np.vstack([train_ill, new_pairs])
+
+    num_true = sum((int(l), int(r)) in test_ill_set for l, r in new_pairs)
+    logger.info(f"#new_links_select:{len(new_pairs)}")
+    logger.info(f"train_ill.shape:{train_ill.shape}")
+    logger.info(f"#true_links: {num_true}")
+    logger.info(f"true link ratio: {(100 * num_true / len(new_pairs)):.1f}%")
+
+    new_lvalid = np.asarray(il.left_valid).copy()
+    new_lvalid[sel] = False
+    rvalid = np.asarray(il.right_valid).copy()
+    right = np.asarray(il.right_cand)
+    mined_right = set(cand[sel].tolist())
+    rvalid &= ~np.isin(right, list(mined_right))
+
+    logger.info(f"#entity not in train set: {int(new_lvalid.sum())} (left) "
+                f"{int(rvalid.sum())} (right)")
+
+    new_il = ILState(
+        left_cand=il.left_cand,
+        left_valid=jnp.asarray(new_lvalid),
+        right_cand=il.right_cand,
+        right_valid=jnp.asarray(rvalid),
+        cand_right=-jnp.ones(il.cand_right.shape, dtype=jnp.int32),
+    )
+    return new_il, train_ill, len(new_pairs)

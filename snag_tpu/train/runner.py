@@ -1,0 +1,338 @@
+"""Training orchestrator.
+
+Ports the reference Runner's control flow (SNAG_MMEA/main.py:31-529):
+two-stage schedule with the il_start transition (LR/5, 3x horizon, reload
+best weights, mid-run test — main.py:158-175), pseudo-label mining every
+``semi_learn_step`` epochs and promotion every ``semi_learn_step*10``
+(:178-183), eval every ``eval_epoch`` with best-by-MRR-l2r tracking and a
+200-eval early-stop counter (:148-149, 197-199, 447-455), and a final test
+from the best weights with the top-3 CSV dump (:203-206, 395-420).
+
+Device-side state: params/optimizer (TrainState), IL pools (ILState).
+Host-side state: the growing train_ill numpy array (batch construction is
+host work; batches are fed capacity-padded so one compiled step serves the
+whole run).
+"""
+
+from __future__ import annotations
+
+import csv
+import os
+import os.path as osp
+import pickle
+import time
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+import flax.serialization
+
+from snag_tpu.config import Config
+from snag_tpu.data.dataset import KGData, load_data
+from snag_tpu.eval.ranking import full_rank_eval
+from snag_tpu.models import build_model
+from snag_tpu.models.encoder import prepare_features, prepare_stats
+from snag_tpu.ops.fusion import l2norm
+from snag_tpu.train import il as il_mod
+from snag_tpu.train.optim import build_optimizer
+from snag_tpu.train.step import (TrainState, create_train_state,
+                                 make_embed_fn, make_msnea_train_step,
+                                 make_train_step)
+from snag_tpu.utils import LossLog, set_seed
+
+
+@jax.jit
+def _normalized(emb):
+    return l2norm(emb)
+
+
+class Runner:
+    def __init__(self, cfg: Config, logger, data: Optional[KGData] = None):
+        self.cfg = cfg
+        self.logger = logger
+        set_seed(cfg.random_seed)
+
+        self.data = data if data is not None else load_data(cfg, logger)
+        self.train_ill = np.asarray(self.data.train_ill, dtype=np.int32)
+        self.test_left = jnp.asarray(self.data.test_ill[:, 0].astype(np.int64))
+        self.test_right = jnp.asarray(self.data.test_ill[:, 1].astype(np.int64))
+
+        self.feats = prepare_features(cfg, self.data)
+        self.stats = (prepare_stats(self.feats, self.data.ent_w_img)
+                      if cfg.add_noise else None)
+        self.graph = self.data.graph
+        self.model = build_model(cfg, self.data)
+
+        self.bank = None
+        extra_init = None
+        if cfg.model_name == "MSNEA":
+            from snag_tpu.models.msnea import TripleBank
+            self.bank = TripleBank.from_data(self.data)
+            z = jnp.zeros((2,), jnp.int32)
+            extra_init = {"pos_triples": (z, z, z), "neg_triples": (z, z, z)}
+        self._extra_init = extra_init
+
+        # stage-0 optimizer horizon (main.py:51-56)
+        if cfg.il:
+            assert cfg.il_start < cfg.epoch
+            stage_epochs = cfg.il_start
+        else:
+            stage_epochs = cfg.epoch
+        self._lr = cfg.lr
+        self._build_optimizer(stage_epochs, init_state=True)
+        self.embed_fn = make_embed_fn(cfg, self.model)
+
+        n_params = sum(x.size for x in jax.tree_util.tree_leaves(self.state.params))
+        self.logger.info(f"total params num: {n_params}")
+
+        # run-state
+        self.loss_log = LossLog()
+        self.best_params = None
+        self.best_mrr = 0.0
+        self.early_stop_init = 200
+        self.early_stop_count = self.early_stop_init
+        self.stage = 0
+        self.epoch = 0
+        self.il_state = (il_mod.ILState.init(self.data.left_non_train,
+                                             self.data.right_non_train)
+                         if cfg.il else None)
+        self.history = []
+
+    # ------------------------------------------------------------------
+    def _steps_per_epoch(self) -> int:
+        b = self.cfg.batch_size
+        return max(1, -(-len(self.train_ill) // b))
+
+    def _build_optimizer(self, total_epochs: int, init_state: bool):
+        cfg = self.cfg
+        total_steps = self._steps_per_epoch() * total_epochs
+        warmup = int(total_steps * 0.15)
+        self.logger.info(f"total_steps: {total_steps}  warmup_steps: {warmup}  "
+                         f"lr: {self._lr}  weight_decay: {cfg.weight_decay}")
+        if init_state:
+            # need params to label the SNAG groups: init with a throwaway tx
+            import optax
+            dummy_tx = optax.sgd(1e-3)
+            self.state = create_train_state(cfg, self.model, self.feats,
+                                            self.graph, dummy_tx,
+                                            cfg.random_seed, self._extra_init)
+        self.tx, self.lr_sched = build_optimizer(
+            cfg, self.state.params, total_steps, warmup, lr=self._lr)
+        self.state = TrainState(params=self.state.params,
+                                opt_state=self.tx.init(self.state.params),
+                                step=jnp.zeros((), jnp.int32),
+                                base_key=self.state.base_key)
+        if cfg.model_name == "MSNEA":
+            self.train_step = make_msnea_train_step(cfg, self.model, self.tx)
+        else:
+            self.train_step = make_train_step(cfg, self.model, self.tx, self.stats)
+
+    def _batches(self):
+        """Shuffled, capacity-padded batches (DataLoader equivalent)."""
+        b = self.cfg.batch_size
+        perm = np.random.permutation(len(self.train_ill))
+        data = self.train_ill[perm]
+        for i in range(0, len(data), b):
+            chunk = data[i:i + b]
+            n = len(chunk)
+            if n < b:
+                pad = np.zeros((b - n, 2), dtype=chunk.dtype)
+                chunk = np.vstack([chunk, pad])
+            valid = np.zeros((b,), dtype=bool)
+            valid[:n] = True
+            yield jnp.asarray(chunk.astype(np.int64)), jnp.asarray(valid)
+
+    # ------------------------------------------------------------------
+    def train_epoch(self) -> float:
+        total = 0.0
+        nb = 0
+        for links, valid in self._batches():
+            if self.cfg.model_name == "MSNEA":
+                self.state, loss, aux = self.train_step(
+                    self.state, links, valid, self.feats, self.graph,
+                    jnp.asarray(self.epoch), self.bank)
+            else:
+                self.state, loss, aux = self.train_step(
+                    self.state, links, valid, self.feats, self.graph,
+                    jnp.asarray(self.epoch))
+            total += float(loss)
+            nb += 1
+        return total / max(nb, 1)
+
+    # ------------------------------------------------------------------
+    def _joint_emb(self, params=None):
+        params = self.state.params if params is None else params
+        joint, weight = self.embed_fn(params, self.feats, self.graph)
+        return joint, weight
+
+    def evaluate(self, last_epoch: bool = False, save_name: str = "",
+                 params=None):
+        cfg = self.cfg
+        joint, _ = self._joint_emb(params)
+        emb = _normalized(joint)
+        res = full_rank_eval(emb[self.test_left], emb[self.test_right],
+                             top_k=(1, 10, 50), csls_k=cfg.csls_k,
+                             use_csls=cfg.csls, distance_kind=cfg.distance,
+                             with_top3=last_epoch)
+        self.logger.info(
+            f"Ep {self.epoch} | l2r: acc of top [1, 10, 50] = {res.acc_l2r}, "
+            f"mr = {res.mr_l2r:.3f}, mrr = {res.mrr_l2r:.3f}")
+        self.logger.info(
+            f"Ep {self.epoch} | r2l: acc of top [1, 10, 50] = {res.acc_r2l}, "
+            f"mr = {res.mr_r2l:.3f}, mrr = {res.mrr_r2l:.3f}")
+        if last_epoch:
+            self._dump_predictions(res, save_name)
+            t1, t2, _ = res.acc_l2r
+            self.logger.info(f"Res:[{t1}\t{t2}\t{res.mrr_l2r:.3f}]")
+        self.history.append({"epoch": self.epoch, "mrr_l2r": res.mrr_l2r,
+                             "hits1_l2r": float(res.acc_l2r[0])})
+
+        self.early_stop_count -= 1
+        if res.mrr_l2r > self.best_mrr and not last_epoch:
+            self.logger.info(
+                f"Best model update in Ep {self.epoch}: MRR from "
+                f"[{self.best_mrr}] --> [{res.mrr_l2r}] ...")
+            self.best_mrr = res.mrr_l2r
+            self.early_stop_count = self.early_stop_init
+            self.best_params = jax.tree_util.tree_map(lambda x: x.copy(),
+                                                      self.state.params)
+        return res
+
+    def _dump_predictions(self, res, save_name: str):
+        """Top-3 retrieval CSV (main.py:395-420)."""
+        cfg = self.cfg
+        if res.top3_l2r is None:
+            return
+        save_name = save_name or cfg.model_name
+        path = osp.join(cfg.data_path, cfg.model_name, f"{save_name}_pred")
+        os.makedirs(path, exist_ok=True)
+        tl = np.asarray(self.test_left)
+        tr = np.asarray(self.test_right)
+        rows = [["idx", "rank", "query_id", "gt_id", "ret1", "ret2", "ret3"]]
+        for i in range(len(tl)):
+            r3 = res.top3_l2r[i]
+            rows.append([i, int(res.ranks_l2r[i]), tl[i], tr[i],
+                         tr[r3[0]], tr[r3[1]], tr[r3[2]]])
+        with open(osp.join(path, f"{cfg.data_choice}_pred.txt"), "w") as f:
+            csv.writer(f, dialect="excel").writerows(rows)
+
+    # ------------------------------------------------------------------
+    def _il_mine(self):
+        """il_for_ea (main.py:214-223)."""
+        cfg = self.cfg
+        joint, _ = self._joint_emb()
+        emb = _normalized(joint)
+        sls = cfg.semi_learn_step
+        fresh = ((self.epoch + 1) % (sls * 5)) == sls
+        il = self.il_state
+        new_cand = il_mod.mine_new_links(
+            emb, il.left_cand, il.left_valid, il.right_cand, il.right_valid,
+            il.cand_right, jnp.asarray(fresh))
+        self.il_state = il_mod.ILState(
+            left_cand=il.left_cand, left_valid=il.left_valid,
+            right_cand=il.right_cand, right_valid=il.right_valid,
+            cand_right=new_cand)
+        if (self.epoch + 1) % (sls * 5) == 0:
+            n = int(np.asarray((new_cand >= 0) & il.left_valid).sum())
+            self.logger.info(f"[epoch {self.epoch}] #links in candidate set: {n}")
+
+    def _il_refresh(self):
+        """il_for_data_ref (main.py:226-237)."""
+        self.il_state, self.train_ill, n_new = il_mod.promote_candidates(
+            self.il_state, self.train_ill, self.data.test_ill_set, self.logger)
+        if n_new:
+            set_seed(self.cfg.random_seed)
+
+    # ------------------------------------------------------------------
+    def run(self):
+        cfg = self.cfg
+        t0 = time.time()
+        for i in range(cfg.epoch):
+            self.epoch = i
+
+            if cfg.il and ((self.epoch == cfg.il_start and self.stage == 0)
+                           or (self.early_stop_count <= 0
+                               and self.epoch <= cfg.il_start)):
+                if self.early_stop_count <= 0:
+                    self.logger.info(
+                        f"Early stop in epoch {self.epoch}... Begin iteration....")
+                self.stage = 1
+                self.early_stop_count = self.early_stop_init
+                self._lr = self._lr / 5
+                self._build_optimizer((cfg.epoch - cfg.il_start) * 3,
+                                      init_state=False)
+                if self.best_params is not None:
+                    self.logger.info("load from the best model before IL... ")
+                    self.state = TrainState(params=self.best_params,
+                                            opt_state=self.state.opt_state,
+                                            step=self.state.step,
+                                            base_key=self.state.base_key)
+                self.evaluate(last_epoch=True,
+                              save_name=f"{cfg.exp_id}_test_ep{cfg.epoch}_no_iter")
+
+            if self.stage == 1 and cfg.il and (self.epoch + 1) % cfg.semi_learn_step == 0:
+                self._il_mine()
+            if (self.stage == 1 and cfg.il
+                    and (self.epoch + 1) % (cfg.semi_learn_step * 10) == 0):
+                self._il_refresh()
+
+            epoch_loss = self.train_epoch()
+            self.loss_log.update(epoch_loss)
+            if (i + 1) % cfg.log_every == 0 or i == 0:
+                lr_now = float(self.lr_sched(self.state.step))
+                self.logger.info(
+                    f"Ep [{i}/{cfg.epoch}] Step [{int(self.state.step)}] "
+                    f"LR [{lr_now:.6f}] Loss {epoch_loss:.5f} "
+                    f"({time.time() - t0:.1f}s)")
+
+            if (i + 1) % cfg.eval_epoch == 0:
+                self.evaluate()
+
+            if self.stage == 1 and self.early_stop_count <= 0:
+                self.logger.info(f"Early stop in epoch {self.epoch}")
+                break
+
+        if self.best_params is not None:
+            self.logger.info("load from the best model before final testing ... ")
+            self.state = TrainState(params=self.best_params,
+                                    opt_state=self.state.opt_state,
+                                    step=self.state.step,
+                                    base_key=self.state.base_key)
+        self.logger.info(" --------------------- Test result --------------------- ")
+        res = self.evaluate(last_epoch=True,
+                            save_name=f"{cfg.exp_id}_test_ep{cfg.epoch}")
+        self.logger.info(f"min loss {self.loss_log.get_min_loss()}")
+        if cfg.save_model:
+            self.save_model()
+        return res
+
+    # ------------------------------------------------------------------
+    def save_model(self, name: str = ""):
+        """flax-msgpack checkpoint under <data_path>/<model>/save/
+        (main.py:481-500 layout)."""
+        cfg = self.cfg
+        name = name or cfg.exp_id
+        path = osp.join(cfg.data_path, cfg.model_name, "save")
+        os.makedirs(path, exist_ok=True)
+        path = osp.join(path, f"{name}.msgpack")
+        params = self.best_params if self.best_params is not None else self.state.params
+        with open(path, "wb") as f:
+            f.write(flax.serialization.to_bytes(params))
+        self.logger.info(f"saving [{path}] done!")
+        return path
+
+    def load_model(self, name: str):
+        cfg = self.cfg
+        path = osp.join(cfg.data_path, cfg.model_name, "save", f"{name}.msgpack")
+        if not osp.exists(path):
+            self.logger.info(f"{name}.msgpack not exist!!")
+            return False
+        with open(path, "rb") as f:
+            params = flax.serialization.from_bytes(self.state.params, f.read())
+        self.state = TrainState(params=params, opt_state=self.state.opt_state,
+                                step=self.state.step,
+                                base_key=self.state.base_key)
+        self.logger.info(f"loading model [{name}.msgpack] done!")
+        return True
