@@ -99,6 +99,40 @@ class Runner:
                                              self.data.right_non_train)
                          if cfg.il else None)
         self.history = []
+        self._last_aux = {}
+
+        # replay buffer (MEAformer --replay): last mined hardest negative per
+        # entity, -1 = none yet; replay starts when the buffer stops growing
+        # (MEAformer.py:55-61, 138-148)
+        self.replay_neg = None
+        self.replay_ready = False
+        self._last_neg_count = None
+        if cfg.model_name == "MEAformer" and cfg.replay:
+            self.replay_neg = -jnp.ones((self.data.ent_num,), jnp.int32)
+
+        # observability: JSONL (+tensorboard if available) scalar sink
+        self.writer = None
+        if not cfg.no_tensorboard:
+            try:
+                from snag_tpu.utils.logging import get_dump_path
+                from snag_tpu.utils.metrics_writer import MetricsWriter
+                self.writer = MetricsWriter(get_dump_path(cfg))
+            except Exception as e:  # never let observability kill training
+                self.logger.info(f"metrics writer disabled: {e}")
+
+        self.start_epoch = 0
+        if cfg.resume_from:
+            from snag_tpu.utils.checkpoint import load_checkpoint
+            load_checkpoint(self, cfg.resume_from)
+            if self.stage == 1:
+                # rebuild the stage-1 optimizer horizon, then restore its
+                # state again (structure is identical, schedule differs)
+                self._build_optimizer((cfg.epoch - cfg.il_start) * 3,
+                                      init_state=False)
+                load_checkpoint(self, cfg.resume_from)
+            self.start_epoch = self.epoch + 1
+            self.logger.info(f"resumed from {cfg.resume_from} "
+                             f"(epoch {self.epoch}, stage {self.stage})")
 
     # ------------------------------------------------------------------
     def _steps_per_epoch(self) -> int:
@@ -126,6 +160,10 @@ class Runner:
                                 base_key=self.state.base_key)
         if cfg.model_name == "MSNEA":
             self.train_step = make_msnea_train_step(cfg, self.model, self.tx)
+        elif cfg.model_name == "MEAformer" and cfg.replay:
+            from snag_tpu.train.step import make_meaformer_replay_step
+            self.train_step = make_meaformer_replay_step(
+                cfg, self.model, self.tx, self.stats)
         else:
             self.train_step = make_train_step(cfg, self.model, self.tx, self.stats)
 
@@ -153,12 +191,36 @@ class Runner:
                 self.state, loss, aux = self.train_step(
                     self.state, links, valid, self.feats, self.graph,
                     jnp.asarray(self.epoch), self.bank)
+            elif self.replay_neg is not None:
+                self.state, loss, aux, self.replay_neg = self.train_step(
+                    self.state, links, valid, self.feats, self.graph,
+                    jnp.asarray(self.epoch), self.replay_neg,
+                    jnp.asarray(self.replay_ready))
             else:
                 self.state, loss, aux = self.train_step(
                     self.state, links, valid, self.feats, self.graph,
                     jnp.asarray(self.epoch))
             total += float(loss)
             nb += 1
+
+        if self.replay_neg is not None and not self.replay_ready:
+            n_unset = int((self.replay_neg < 0).sum())
+            if self._last_neg_count is not None and n_unset == self._last_neg_count:
+                self.replay_ready = True
+                self.logger.info("begin replay!")
+            self._last_neg_count = n_unset
+
+        # keep last-batch scalar loss terms + mean modality weights for the
+        # metrics sink (the reference's tensorboard scalars, main.py:304-328)
+        self._last_aux = {}
+        for k, v in (aux or {}).items():
+            arr = np.asarray(v)
+            if arr.ndim == 0:
+                self._last_aux[k] = float(arr)
+            elif k == "weight_norm":
+                names = self.cfg.active_modalities()
+                for mi, m in enumerate(names[:arr.shape[0]]):
+                    self._last_aux[f"w_{m}"] = float(arr[mi])
         return total / max(nb, 1)
 
     # ------------------------------------------------------------------
@@ -249,8 +311,17 @@ class Runner:
     def run(self):
         cfg = self.cfg
         t0 = time.time()
-        for i in range(cfg.epoch):
+        profiling = False
+        for i in range(self.start_epoch, cfg.epoch):
             self.epoch = i
+
+            if cfg.profile_dir and i == 2 and not profiling:
+                jax.profiler.start_trace(cfg.profile_dir)
+                profiling = True
+            if profiling and i == 4:
+                jax.profiler.stop_trace()
+                profiling = False
+                self.logger.info(f"profiler trace written to {cfg.profile_dir}")
 
             if cfg.il and ((self.epoch == cfg.il_start and self.stage == 0)
                            or (self.early_stop_count <= 0
@@ -286,9 +357,24 @@ class Runner:
                     f"Ep [{i}/{cfg.epoch}] Step [{int(self.state.step)}] "
                     f"LR [{lr_now:.6f}] Loss {epoch_loss:.5f} "
                     f"({time.time() - t0:.1f}s)")
+                if self.writer is not None:
+                    self.writer.scalars("loss", {"train_loss": epoch_loss},
+                                        int(self.state.step))
+                    self.writer.scalars("lr", {"lr": lr_now},
+                                        int(self.state.step))
+                    if self._last_aux:
+                        self.writer.scalars("loss_terms", self._last_aux,
+                                            int(self.state.step))
 
             if (i + 1) % cfg.eval_epoch == 0:
                 self.evaluate()
+
+            if cfg.checkpoint_every and (i + 1) % cfg.checkpoint_every == 0:
+                from snag_tpu.utils.checkpoint import save_checkpoint
+                from snag_tpu.utils.logging import get_dump_path
+                path = osp.join(get_dump_path(cfg), "checkpoint.msgpack")
+                save_checkpoint(self, path)
+                self.logger.info(f"checkpoint saved to {path}")
 
             if self.stage == 1 and self.early_stop_count <= 0:
                 self.logger.info(f"Early stop in epoch {self.epoch}")

@@ -86,6 +86,84 @@ def make_train_step(cfg: Config, model, tx,
     return step
 
 
+def make_meaformer_replay_step(cfg: Config, model, tx,
+                               stats: Optional[FeatureStats]) -> Callable:
+    """MEAformer step with the replay negative strategy (MEAformer.py:102-148).
+
+    ``replay_neg`` is a device (N,) int32 array: the last mined hardest
+    negative entity per entity, or -1.  The reference stores raw logit
+    column indices and replays them as entity ids; here the mined column is
+    mapped to the entity it actually denotes (ab block -> paired entity,
+    aa block -> same-side entity).  Negatives already present in the batch
+    are masked out (the reference's set-difference filter, deduplication
+    aside)."""
+    add_noise = bool(cfg.add_noise)
+
+    @jax.jit
+    def step(state: TrainState, links, valid, feats: FeaturePack, graph,
+             epoch, replay_neg, replay_ready):
+        ekey = jax.random.fold_in(state.base_key, epoch)
+        if add_noise:
+            nkey, entkey = jax.random.split(jax.random.fold_in(ekey, 7))
+            noised = apply_feature_noise(nkey, feats, stats,
+                                         cfg.noise_ratio, cfg.mask_ratio)
+            entity_noise_key = entkey
+        else:
+            noised = feats
+            entity_noise_key = None
+        drop_key = jax.random.fold_in(state.base_key, state.step + 1_000_003)
+
+        b = links.shape[0]
+        neg_l = replay_neg[links[:, 0]]
+        neg_r = replay_neg[links[:, 1]]
+        batch_ents = jnp.concatenate([links[:, 0], links[:, 1]])
+
+        def not_in_batch(neg):
+            return ~jnp.any(neg[:, None] == batch_ents[None, :], axis=1)
+
+        use = replay_ready
+        neg_l_valid = use & (neg_l >= 0) & not_in_batch(neg_l) & valid
+        neg_r_valid = use & (neg_r >= 0) & not_in_batch(neg_r) & valid
+        neg_l_safe = jnp.maximum(neg_l, 0)
+        neg_r_safe = jnp.maximum(neg_r, 0)
+
+        def loss_fn(params):
+            loss, aux = model.apply(
+                {"params": params}, links, valid, noised, graph,
+                entity_noise_key=entity_noise_key, deterministic=False,
+                replay_neg_l=neg_l_safe, replay_neg_r=neg_r_safe,
+                replay_neg_valid=neg_l_valid & neg_r_valid,
+                rngs={"dropout": drop_key})
+            return loss, aux
+
+        (loss, aux), grads = jax.value_and_grad(loss_fn, has_aux=True)(state.params)
+        updates, new_opt = tx.update(grads, state.opt_state, state.params)
+        new_params = optax.apply_updates(state.params, updates)
+
+        # map mined logit columns to entity ids and scatter into the buffer
+        # logits_a blocks: [ab: zjs -> links[:,1] | aa: zis -> links[:,0] | replay]
+        l_col = aux.pop("l_neg")
+        r_col = aux.pop("r_neg")
+
+        def col_to_ent(col, first, second):
+            in_ab = col < b
+            idx = jnp.where(in_ab, col, jnp.minimum(col - b, b - 1))
+            return jnp.where(in_ab, first[idx], second[idx])
+
+        l_ent = col_to_ent(l_col, links[:, 1], links[:, 0])
+        r_ent = col_to_ent(r_col, links[:, 0], links[:, 1])
+        new_replay = replay_neg.at[links[:, 0]].set(
+            jnp.where(valid, l_ent.astype(replay_neg.dtype), neg_l))
+        new_replay = new_replay.at[links[:, 1]].set(
+            jnp.where(valid, r_ent.astype(replay_neg.dtype), neg_r))
+
+        new_state = TrainState(params=new_params, opt_state=new_opt,
+                               step=state.step + 1, base_key=state.base_key)
+        return new_state, loss, aux, new_replay
+
+    return step
+
+
 def make_msnea_train_step(cfg: Config, model, tx) -> Callable:
     """MSNEA step: device-side triple sampling + TransE/contrastive losses
     (reference samples on the host each step, MSNEA_tools.py:37-90)."""
