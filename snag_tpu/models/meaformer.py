@@ -74,10 +74,24 @@ class MEAformer(nn.Module):
 
     def inner_view_loss(self, embs: dict, links, valid):
         cfg = self.cfg
+        order = ("gph", "rel", "att", "img", "name", "char")
+        active = [(m, embs[m]) for m in order if embs[m] is not None]
+        dims = {e.shape[-1] for _, e in active}
+        if len(dims) == 1:
+            # one batched einsum for all modalities (see SNAG.inner_view_loss)
+            from snag_tpu.losses.contrastive import icl_loss_multi
+            from snag_tpu.ops.fusion import l2norm
+            stack = jnp.stack([l2norm(e) for _, e in active], axis=0)
+            per = icl_loss_multi(stack, links, tau=cfg.tau,
+                                 ab_weight=cfg.ab_weight, valid=valid)
+            it = iter(range(len(active)))
+            losses = [per[next(it)] if embs[m] is not None else 0.0
+                      for m in order]
+            return self.multi_loss_layer(losses)
         losses = [
             icl_loss(embs[m], links, tau=cfg.tau, ab_weight=cfg.ab_weight,
                      valid=valid) if embs[m] is not None else 0.0
-            for m in ("gph", "rel", "att", "img", "name", "char")
+            for m in order
         ]
         return self.multi_loss_layer(losses)
 

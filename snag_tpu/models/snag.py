@@ -84,8 +84,41 @@ class SNAG(nn.Module):
 
     def inner_view_loss(self, gph, rel, att, img, name, char, links, valid,
                         weight_norm=None):
-        """Per-modality ICL through the Kendall layer (SNAG.py:143-162)."""
+        """Per-modality ICL through the Kendall layer (SNAG.py:143-162).
+
+        All active modalities share the hidden width in every shippable
+        config, so the six B x B matmul chains are computed as ONE batched
+        einsum (losses/contrastive.icl_loss_multi); falls back to the
+        sequential path on heterogeneous widths."""
         cfg = self.cfg
+        named = [("gph", gph), ("rel", rel), ("att", att), ("img", img),
+                 ("name", name), ("char", char)]
+        active = [(m, e) for m, e in named if e is not None]
+        dims = {e.shape[-1] for _, e in active}
+
+        if len(dims) == 1:
+            from snag_tpu.losses.contrastive import icl_loss_multi
+            stack = jnp.stack([l2norm(e) for _, e in active], axis=0)
+            w_min = None
+            if weight_norm is not None:
+                # weight_norm: (N_ent, mod_num) per-entity attention weights
+                mod_num = weight_norm.shape[1]
+                cols = jnp.asarray([weight_column(cfg, m) for m, _ in active])
+                wi = weight_norm[links[:, 0]][:, cols].T       # (M, B)
+                wj = weight_norm[links[:, 1]][:, cols].T
+                w_min = jnp.minimum(wi, wj) * mod_num
+            per = icl_loss_multi(stack, links, tau=cfg.tau,
+                                 ab_weight=cfg.ab_weight, w_min=w_min,
+                                 valid=valid)
+            losses = []
+            k = 0
+            for m, e in named:
+                if e is None:
+                    losses.append(0.0)
+                else:
+                    losses.append(per[k])
+                    k += 1
+            return self.multi_loss_layer(losses)
 
         def one(emb, modality):
             if emb is None:
@@ -99,8 +132,7 @@ class SNAG(nn.Module):
             return icl_loss(emb, links, tau=cfg.tau, ab_weight=cfg.ab_weight,
                             weight_norm=w, valid=valid)
 
-        losses = [one(gph, "gph"), one(rel, "rel"), one(att, "att"),
-                  one(img, "img"), one(name, "name"), one(char, "char")]
+        losses = [one(e, m) for m, e in named]
         return self.multi_loss_layer(losses)
 
     def __call__(self, links, valid, feats: FeaturePack, graph: Graph,
