@@ -23,6 +23,7 @@ import numpy as np
 
 
 def main():
+    jax.config.update("jax_default_prng_impl", "rbg")
     from snag_tpu.config import Config, finalize_config
     from snag_tpu.data.dataset import load_data
     from snag_tpu.models import build_model

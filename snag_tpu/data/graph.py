@@ -27,7 +27,7 @@ from typing import Iterable, Sequence, Tuple
 import jax
 import numpy as np
 
-EDGE_PAD_MULTIPLE = 512
+EDGE_PAD_MULTIPLE = 1024
 
 
 def _round_up(x: int, m: int) -> int:
@@ -36,12 +36,29 @@ def _round_up(x: int, m: int) -> int:
 
 @dataclass
 class Graph:
-    """Padded edge-list adjacency.
+    """Padded edge-list adjacency with CSR gather structure.
 
-    ``out[i] = sum over edges e with row[e]==i of w[e] * h[col[e]]`` —
-    computed as ``segment_sum(w * h[col], row, N)``.  Edges are sorted by
-    ``row``; entries past ``n_edges`` are padding with ``w == 0`` and
-    ``mask == False`` (they point at node 0 and contribute nothing).
+    ``out[i] = sum over edges e with row[e]==i of w[e] * h[col[e]]``.
+    Edges are sorted by ``row``; entries past ``n_edges`` are padding with
+    ``w == 0`` and ``mask == False``.
+
+    The CSR fields drive the scatter-free aggregation (ops/segment.py
+    ``csr_gather_segment_sum``): TPU scatters serialize per update, so the
+    head of each adjacency row (up to ``gather_width`` edges) is reduced by
+    a dense gather+sum and only the hub tail (``tail_sel`` edge positions)
+    goes through a small segment_sum.
+
+    * starts:   (N,) first edge position of each row
+    * deg:      (N,) row degree
+    * tail_sel: (T_pad,) edge positions beyond gather_width, row-sorted
+    * tail_row: (T_pad,) their rows (padding rows point at n_nodes-1 with
+                tail_sel pointing at a guaranteed-zero padded edge)
+    * gather_width / n_tail: static
+
+    The col_* fields are the same structure over the column index (the
+    in-edge CSR), used for the backward of node->edge gathers
+    (ops/segment.py ``edge_gather_col``): ``col_order`` permutes edges into
+    col-sorted order; col_starts/col_deg/col_tail_* index into that order.
     """
 
     n_nodes: int
@@ -50,6 +67,18 @@ class Graph:
     col: np.ndarray       # (E_pad,) int32
     w: np.ndarray         # (E_pad,) float32 — sym-normalized; 0 on padding
     mask: np.ndarray      # (E_pad,) bool
+    starts: np.ndarray = None    # (N,) int32
+    deg: np.ndarray = None       # (N,) int32
+    tail_sel: np.ndarray = None  # (T_pad,) int32
+    tail_row: np.ndarray = None  # (T_pad,) int32
+    gather_width: int = 0
+    n_tail: int = 0
+    col_order: np.ndarray = None      # (E_pad,) int32
+    col_starts: np.ndarray = None     # (N,) int32
+    col_deg: np.ndarray = None        # (N,) int32
+    col_tail_sel: np.ndarray = None   # (Tc_pad,) positions in col order
+    col_tail_row: np.ndarray = None   # (Tc_pad,) col value (target node)
+    col_gather_width: int = 0
 
     @property
     def e_pad(self) -> int:
@@ -60,10 +89,37 @@ class Graph:
 # constants), node/edge counts are static aux data.
 jax.tree_util.register_pytree_node(
     Graph,
-    lambda g: ((g.row, g.col, g.w, g.mask), (g.n_nodes, g.n_edges)),
-    lambda aux, leaves: Graph(n_nodes=aux[0], n_edges=aux[1], row=leaves[0],
-                              col=leaves[1], w=leaves[2], mask=leaves[3]),
+    lambda g: ((g.row, g.col, g.w, g.mask, g.starts, g.deg, g.tail_sel,
+                g.tail_row, g.col_order, g.col_starts, g.col_deg,
+                g.col_tail_sel, g.col_tail_row),
+               (g.n_nodes, g.n_edges, g.gather_width, g.n_tail,
+                g.col_gather_width)),
+    lambda aux, leaves: Graph(
+        n_nodes=aux[0], n_edges=aux[1], row=leaves[0], col=leaves[1],
+        w=leaves[2], mask=leaves[3], starts=leaves[4], deg=leaves[5],
+        tail_sel=leaves[6], tail_row=leaves[7], gather_width=aux[2],
+        n_tail=aux[3], col_order=leaves[8], col_starts=leaves[9],
+        col_deg=leaves[10], col_tail_sel=leaves[11], col_tail_row=leaves[12],
+        col_gather_width=aux[4]),
 )
+
+
+def _csr_structure(keys: np.ndarray, n_nodes: int, e_pad: int):
+    """CSR head/tail structure over sorted segment keys (see Graph doc)."""
+    deg = np.bincount(keys, minlength=n_nodes).astype(np.int32)
+    starts = np.zeros(n_nodes, dtype=np.int32)
+    starts[1:] = np.cumsum(deg)[:-1]
+    d97 = int(np.quantile(deg, 0.97))
+    width = int(min(max(_round_up(max(d97, 1), 8), 8), 128))
+    pos = np.arange(len(keys)) - starts[keys]
+    tail_positions = np.nonzero(pos >= width)[0].astype(np.int32)
+    n_tail = len(tail_positions)
+    t_pad = _round_up(max(n_tail, 1), 256)
+    tail_sel = np.full(t_pad, e_pad - 1, dtype=np.int32)
+    tail_row = np.full(t_pad, n_nodes - 1, dtype=np.int32)
+    tail_sel[:n_tail] = tail_positions
+    tail_row[:n_tail] = keys[tail_positions]
+    return starts, deg, tail_sel, tail_row, width, n_tail
 
 
 def build_graph(n_nodes: int, triples: Sequence[Tuple[int, int, int]],
@@ -106,7 +162,9 @@ def build_graph(n_nodes: int, triples: Sequence[Tuple[int, int, int]],
     order = np.argsort(rows, kind="stable")
     rows, cols, norm_vals = rows[order], cols[order], norm_vals[order]
 
-    e_pad = _round_up(max(n_real, 1), pad_multiple)
+    # +1 guarantees at least one zero padding edge: the CSR gather's
+    # over-degree slots and tail padding point at e_pad-1
+    e_pad = _round_up(n_real + 1, pad_multiple)
     row_p = np.zeros(e_pad, dtype=np.int32)
     col_p = np.zeros(e_pad, dtype=np.int32)
     w_p = np.zeros(e_pad, dtype=np.float32)
@@ -118,8 +176,29 @@ def build_graph(n_nodes: int, triples: Sequence[Tuple[int, int, int]],
     # padding rows point at the last node to keep the sorted invariant
     row_p[n_real:] = n_nodes - 1
 
+    # invariant: every node appears as a row (self-loops guarantee it)
+    assert np.unique(rows).size == n_nodes, \
+        "graph rows must cover every node (self-loops missing?)"
+
+    # CSR gather structures over rows (out-edges) and cols (in-edges);
+    # hub tails go through the (small) scatter path.  The col CSR operates
+    # in col-sorted order via the col_order permutation; padded edges keep
+    # col = n_nodes-1 so they sort last and carry zero cotangents.
+    col_p[n_real:] = n_nodes - 1
+    starts, deg, tail_sel, tail_row, gather_width, n_tail = _csr_structure(
+        rows, n_nodes, e_pad)
+
+    col_order = np.argsort(col_p, kind="stable").astype(np.int32)
+    cols_sorted = col_p[col_order]
+    (col_starts, col_deg, col_tail_sel, col_tail_row, col_gather_width,
+     _nt) = _csr_structure(cols_sorted.astype(np.int64), n_nodes, e_pad)
+
     return Graph(n_nodes=n_nodes, n_edges=n_real, row=row_p, col=col_p,
-                 w=w_p, mask=msk)
+                 w=w_p, mask=msk, starts=starts, deg=deg, tail_sel=tail_sel,
+                 tail_row=tail_row, gather_width=gather_width, n_tail=n_tail,
+                 col_order=col_order, col_starts=col_starts, col_deg=col_deg,
+                 col_tail_sel=col_tail_sel, col_tail_row=col_tail_row,
+                 col_gather_width=col_gather_width)
 
 
 def dense_adjacency(g: Graph) -> np.ndarray:

@@ -47,7 +47,11 @@ def _ranks(distance: jnp.ndarray) -> jnp.ndarray:
     d_true = jnp.diagonal(distance)[:, None]
     cols = jnp.arange(distance.shape[1])[None, :]
     rows = jnp.arange(n)[:, None]
-    smaller = (distance < d_true).sum(axis=1)
+    # the gold column is excluded from the strict comparison explicitly:
+    # XLA may compute the diagonal and the matrix through different fusions,
+    # leaving them 1 ulp apart — without the exclusion the gold can count
+    # as "smaller than itself"
+    smaller = ((distance < d_true) & (cols != rows)).sum(axis=1)
     tied_before = ((distance == d_true) & (cols < rows)).sum(axis=1)
     return smaller + tied_before
 
@@ -83,12 +87,77 @@ def _eval_core(emb_l, emb_r, csls_k: int, use_csls: bool,
     return distance, ranks_l2r, ranks_r2l, top3
 
 
+# above this many test pairs the full (N, N) distance matrix would exceed a
+# sensible HBM budget and the two-pass chunked evaluator is used
+FULL_MATRIX_MAX = 25000
+
+
+@partial(jax.jit, static_argnames=("k",))
+def _knn_means(emb_q, emb_c, k: int):
+    """Mean similarity of each query's top-k neighbours (CSLS r terms)."""
+    sim = 1 - pairwise_distances(emb_q, emb_c)
+    return jnp.mean(jax.lax.top_k(sim, k)[0], axis=1)
+
+
+@partial(jax.jit, static_argnames=("use_csls",))
+def _chunk_ranks(q_chunk, emb_c, gold_idx, col_offset, r_q_chunk, r_c,
+                 use_csls: bool):
+    """Ranks for one chunk of queries against all candidates."""
+    d = pairwise_distances(q_chunk, emb_c)
+    if use_csls:
+        d = 1 - (2 * (1 - d) - r_q_chunk[:, None] - r_c[None, :])
+    rows = jnp.arange(q_chunk.shape[0])
+    d_true = d[rows, gold_idx]
+    cols = jnp.arange(emb_c.shape[0])[None, :]
+    not_gold = cols != gold_idx[:, None]
+    smaller = ((d < d_true[:, None]) & not_gold).sum(axis=1)
+    tied_before = ((d == d_true[:, None]) & (cols < gold_idx[:, None])).sum(axis=1)
+    top3 = jax.lax.top_k(-d, 3)[1]
+    return smaller + tied_before, top3
+
+
+def _chunked_ranks_one_direction(emb_q, emb_c, csls_k, use_csls, chunk=4096):
+    n = emb_q.shape[0]
+    r_q = _knn_means(emb_q, emb_c, csls_k) if use_csls else jnp.zeros((n,))
+    r_c = (_knn_means(emb_c, emb_q, csls_k) if use_csls
+           else jnp.zeros((emb_c.shape[0],)))
+    ranks, top3s = [], []
+    for i in range(0, n, chunk):
+        j = min(i + chunk, n)
+        q = emb_q[i:j]
+        gold = jnp.arange(i, j)
+        if j - i < chunk:   # pad to keep one compiled shape
+            pad = chunk - (j - i)
+            q = jnp.concatenate([q, jnp.zeros((pad, q.shape[1]), q.dtype)])
+            gold = jnp.concatenate([gold, jnp.zeros((pad,), gold.dtype)])
+            rq = jnp.concatenate([r_q[i:j], jnp.zeros((pad,))])
+        else:
+            rq = r_q[i:j]
+        rk, t3 = _chunk_ranks(q, emb_c, gold, i, rq, r_c, use_csls)
+        ranks.append(np.asarray(rk)[:j - i])
+        top3s.append(np.asarray(t3)[:j - i])
+    return np.concatenate(ranks), np.concatenate(top3s)
+
+
 def full_rank_eval(emb_l, emb_r, top_k=(1, 10, 50), csls_k: int = 10,
                    use_csls: bool = False, distance_kind: int = 2,
                    with_top3: bool = False) -> RankResult:
-    """Bidirectional Hits@K / MR / MRR (main.py:380-444)."""
-    _, ranks_l2r, ranks_r2l, top3 = _eval_core(
-        emb_l, emb_r, csls_k, use_csls, distance_kind, with_top3)
+    """Bidirectional Hits@K / MR / MRR (main.py:380-444).
+
+    The chunked large-N path computes the same CSLS formula in two passes;
+    results match the full-matrix path up to fp rounding (different matmul
+    tilings), which can flip exact ties by one rank position.
+    """
+    if emb_l.shape[0] > FULL_MATRIX_MAX and distance_kind == 2:
+        ranks_l2r, top3 = _chunked_ranks_one_direction(
+            emb_l, emb_r, csls_k, use_csls)
+        ranks_r2l, _ = _chunked_ranks_one_direction(
+            emb_r, emb_l, csls_k, use_csls)
+        if not with_top3:
+            top3 = None
+    else:
+        _, ranks_l2r, ranks_r2l, top3 = _eval_core(
+            emb_l, emb_r, csls_k, use_csls, distance_kind, with_top3)
     ranks_l2r = np.asarray(ranks_l2r)
     ranks_r2l = np.asarray(ranks_r2l)
 

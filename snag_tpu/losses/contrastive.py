@@ -54,6 +54,7 @@ def icl_loss(
     neg_valid: Optional[jnp.ndarray] = None,
     norm: bool = True,
     with_replay_mining: bool = False,
+    matmul_dtype=None,
 ):
     """Intra-modal NT-Xent over a link batch (SNAG_loss.py:58-128).
 
@@ -67,6 +68,11 @@ def icl_loss(
     zis = emb[links[:, 0]]
     zjs = emb[links[:, 1]]
     b = zis.shape[0]
+    if matmul_dtype is not None:
+        # normalized rows (|x| <= 1): bf16 similarity matmuls with f32
+        # accumulation are the production fast path
+        zis = zis.astype(matmul_dtype)
+        zjs = zjs.astype(matmul_dtype)
 
     w_min = None
     if weight_norm is not None:
@@ -74,11 +80,13 @@ def icl_loss(
         zjs_w = weight_norm[links[:, 1]]
         w_min = jnp.minimum(zis_w, zjs_w)
 
-    eye = jnp.eye(b, dtype=emb.dtype)
-    logits_ab = zis @ zjs.T / tau
+    eye = jnp.eye(b, dtype=jnp.float32)
+    def sim(x, y):
+        return jnp.dot(x, y.T, preferred_element_type=jnp.float32) / tau
+    logits_ab = sim(zis, zjs)
     logits_ba = logits_ab.T
-    logits_aa = zis @ zis.T / tau - eye * LARGE_NUM
-    logits_bb = zjs @ zjs.T / tau - eye * LARGE_NUM
+    logits_aa = sim(zis, zis) - eye * LARGE_NUM
+    logits_bb = sim(zjs, zjs) - eye * LARGE_NUM
 
     if valid is not None:
         # padded rows must not serve as negatives in any block
@@ -91,10 +99,10 @@ def icl_loss(
     blocks_a = [logits_ab, logits_aa]
     blocks_b = [logits_ba, logits_bb]
     if neg_l is not None:
-        zins = emb[neg_l]
-        zjns = emb[neg_r]
-        logits_ana = zis @ zins.T / tau
-        logits_bnb = zjs @ zjns.T / tau
+        zins = emb[neg_l].astype(zis.dtype)
+        zjns = emb[neg_r].astype(zjs.dtype)
+        logits_ana = sim(zis, zins)
+        logits_bnb = sim(zjs, zjns)
         if neg_valid is not None:
             negmask = jnp.where(neg_valid[None, :], 0.0, -LARGE_NUM)
             logits_ana = logits_ana + negmask
@@ -134,6 +142,7 @@ def icl_loss_multi(
     ab_weight: float = 0.5,
     w_min: Optional[jnp.ndarray] = None,
     valid: Optional[jnp.ndarray] = None,
+    matmul_dtype=None,
 ) -> jnp.ndarray:
     """M independent ICL losses in one batched computation.
 
@@ -148,8 +157,11 @@ def icl_loss_multi(
     m = embs.shape[0]
     zis = embs[:, links[:, 0], :]     # (M, B, d)
     zjs = embs[:, links[:, 1], :]
+    if matmul_dtype is not None:
+        zis = zis.astype(matmul_dtype)
+        zjs = zjs.astype(matmul_dtype)
     b = zis.shape[1]
-    eye = jnp.eye(b, dtype=embs.dtype)
+    eye = jnp.eye(b, dtype=jnp.float32)
 
     ab = jnp.einsum("mbd,mcd->mbc", zis, zjs,
                     preferred_element_type=jnp.float32) / tau

@@ -72,6 +72,9 @@ class MEAformer(nn.Module):
             out["name"] = out["char"] = None
         return out
 
+    def _matmul_dtype(self):
+        return jnp.bfloat16 if self.cfg.dtype == "bfloat16" else None
+
     def inner_view_loss(self, embs: dict, links, valid):
         cfg = self.cfg
         order = ("gph", "rel", "att", "img", "name", "char")
@@ -83,7 +86,8 @@ class MEAformer(nn.Module):
             from snag_tpu.ops.fusion import l2norm
             stack = jnp.stack([l2norm(e) for _, e in active], axis=0)
             per = icl_loss_multi(stack, links, tau=cfg.tau,
-                                 ab_weight=cfg.ab_weight, valid=valid)
+                                 ab_weight=cfg.ab_weight, valid=valid,
+                                 matmul_dtype=self._matmul_dtype())
             it = iter(range(len(active)))
             losses = [per[next(it)] if embs[m] is not None else 0.0
                       for m in order]
@@ -113,7 +117,8 @@ class MEAformer(nn.Module):
                 neg_valid=replay_neg_valid, with_replay_mining=True)
         else:
             loss_joi = icl_loss(enc.joint, links, tau=cfg.tau,
-                                ab_weight=cfg.ab_weight, valid=valid)
+                                ab_weight=cfg.ab_weight, valid=valid,
+                                matmul_dtype=self._matmul_dtype())
             l_neg = r_neg = None
 
         modal = {"gph": enc.gph, "rel": enc.rel, "att": enc.att,

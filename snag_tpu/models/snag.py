@@ -82,6 +82,9 @@ class SNAG(nn.Module):
             name = char = None
         return gph, rel, att, img, name, char
 
+    def _matmul_dtype(self):
+        return jnp.bfloat16 if self.cfg.dtype == "bfloat16" else None
+
     def inner_view_loss(self, gph, rel, att, img, name, char, links, valid,
                         weight_norm=None):
         """Per-modality ICL through the Kendall layer (SNAG.py:143-162).
@@ -109,7 +112,7 @@ class SNAG(nn.Module):
                 w_min = jnp.minimum(wi, wj) * mod_num
             per = icl_loss_multi(stack, links, tau=cfg.tau,
                                  ab_weight=cfg.ab_weight, w_min=w_min,
-                                 valid=valid)
+                                 valid=valid, matmul_dtype=self._matmul_dtype())
             losses = []
             k = 0
             for m, e in named:
@@ -130,7 +133,8 @@ class SNAG(nn.Module):
                     # reference scales weights by mod_num (SNAG.py:146)
                     w = weight_norm[:, col] * weight_norm.shape[1]
             return icl_loss(emb, links, tau=cfg.tau, ab_weight=cfg.ab_weight,
-                            weight_norm=w, valid=valid)
+                            weight_norm=w, valid=valid,
+                            matmul_dtype=self._matmul_dtype())
 
         losses = [one(e, m) for m, e in named]
         return self.multi_loss_layer(losses)
@@ -144,10 +148,12 @@ class SNAG(nn.Module):
         hid = self.generate_hidden_emb(enc.hidden)
         gph_h, rel_h, att_h, img_h, name_h, char_h = hid
 
+        md = self._matmul_dtype()
         gmi = (icl_loss(enc.joint, links, tau=cfg.tau, ab_weight=cfg.ab_weight,
-                        valid=valid)
+                        valid=valid, matmul_dtype=md)
                + icl_loss(enc.joint_fz, links, tau=cfg.tau,
-                          ab_weight=cfg.ab_weight, valid=valid))
+                          ab_weight=cfg.ab_weight, valid=valid,
+                          matmul_dtype=md))
         ecia = self.inner_view_loss(enc.gph, enc.rel, enc.att, enc.img,
                                     enc.name, enc.char, links, valid,
                                     weight_norm=enc.weight_norm)

@@ -22,7 +22,8 @@ import numpy as np
 
 from snag_tpu.data.graph import Graph
 from snag_tpu.ops import inits
-from snag_tpu.ops.segment import spmm
+from snag_tpu.ops.segment import (edge_gather_col, edge_gather_row,
+                                  segment_reduce_sorted, spmm)
 
 
 class GraphConvolution(nn.Module):
@@ -31,15 +32,18 @@ class GraphConvolution(nn.Module):
     out_features: int
     use_bias: bool = True
     dtype: jnp.dtype = jnp.float32
+    adj_dtype: jnp.dtype = jnp.bfloat16
 
     @nn.compact
-    def __call__(self, x, row, col, val, n_nodes):
+    def __call__(self, x, graph: Graph):
         stdv = 1.0 / np.sqrt(self.out_features)
         w = self.param("weight", inits.uniform_stdv(stdv),
                        (self.in_features, self.out_features))
         support = jnp.dot(x.astype(self.dtype), w.astype(self.dtype),
                           preferred_element_type=jnp.float32)
-        out = spmm(row, col, val.astype(jnp.float32), n_nodes, support)
+        vals = (graph.w[:, None].astype(jnp.float32)
+                * edge_gather_col(support, graph))
+        out = segment_reduce_sorted(vals, graph)
         if self.use_bias:
             b = self.param("bias", inits.uniform_stdv(stdv), (self.out_features,))
             out = out + b
@@ -53,16 +57,16 @@ class GCN(nn.Module):
     nout: int
     dropout: float = 0.0
     dtype: jnp.dtype = jnp.float32
+    adj_dtype: jnp.dtype = jnp.bfloat16
 
     @nn.compact
     def __call__(self, x, graph: Graph, *, deterministic: bool = True):
-        row, col, val = graph.row, graph.col, graph.w
-        x = GraphConvolution(self.nfeat, self.nhid, dtype=self.dtype, name="gc1")(
-            x, row, col, val, graph.n_nodes)
+        x = GraphConvolution(self.nfeat, self.nhid, dtype=self.dtype,
+                             adj_dtype=self.adj_dtype, name="gc1")(x, graph)
         x = nn.relu(x)
         x = nn.Dropout(self.dropout)(x, deterministic=deterministic)
-        x = GraphConvolution(self.nhid, self.nout, dtype=self.dtype, name="gc2")(
-            x, row, col, val, graph.n_nodes)
+        x = GraphConvolution(self.nhid, self.nout, dtype=self.dtype,
+                             adj_dtype=self.adj_dtype, name="gc2")(x, graph)
         return x
 
 
@@ -80,6 +84,7 @@ class MultiHeadGraphAttention(nn.Module):
     attn_dropout: float = 0.0
     diag: bool = True
     dtype: jnp.dtype = jnp.float32
+    adj_dtype: jnp.dtype = jnp.bfloat16   # dense-path adjacency precision
 
     @nn.compact
     def __call__(self, x, graph: Graph, *, deterministic: bool = True):
@@ -102,13 +107,35 @@ class MultiHeadGraphAttention(nn.Module):
         a_src = a[:, :F, 0].astype(jnp.float32)   # (H, F)
         a_dst = a[:, F:, 0].astype(jnp.float32)
         # score of edge (i <- j): [h_i ; h_j] . a == h_i.a_src + h_j.a_dst
-        s_src = jnp.einsum("hnf,hf->hn", h32, a_src)
-        s_dst = jnp.einsum("hnf,hf->hn", h32, a_dst)
-        score = s_src[:, row] + s_dst[:, col]                 # (H, E)
+        s_src_nh = jnp.einsum("hnf,hf->nh", h32, a_src)       # (N, H)
+        s_dst_nh = jnp.einsum("hnf,hf->nh", h32, a_dst)
+
+        use_dropout = self.attn_dropout > 0 and not deterministic
+        if not use_dropout:
+            # scatter-free hot path: node->edge gathers carry CSR backward
+            # rules (ops/segment.py); per-head weighted neighbours + the
+            # attention mass (row normaliser) pack into ONE (E, H*(F+1))
+            # value matrix -> a single segment reduction per layer (the
+            # reference does 2 spmms per head, layers.py:81-85)
+            score_e = (edge_gather_row(s_src_nh, graph)
+                       + edge_gather_col(s_dst_nh, graph))    # (E, H)
+            e = jnp.exp(-nn.leaky_relu(score_e, negative_slope=0.2))
+            e = jnp.where(mask[:, None], e, 0.0)
+            h_flat = h32.transpose(1, 0, 2).reshape(n, H * F)
+            gathered = edge_gather_col(h_flat, graph)
+            gathered = gathered.reshape(-1, H, F)             # (E, H, F)
+            packed = jnp.concatenate(
+                [e[:, :, None] * gathered, e[:, :, None]], axis=-1)
+            packed = packed.reshape(packed.shape[0], H * (F + 1))
+            agg = segment_reduce_sorted(packed, graph)
+            agg = agg.reshape(n, H, F + 1)
+            out = agg[..., :F] / agg[..., F:F + 1]
+            return out.transpose(1, 0, 2)                     # (H, N, F)
+
+        # general path: sorted-edge segment sums (supports attn dropout)
+        score = s_src_nh.T[:, row] + s_dst_nh.T[:, col]       # (H, E)
         e = jnp.exp(-nn.leaky_relu(score, negative_slope=0.2))
         e = jnp.where(mask[None, :], e, 0.0)
-
-        # normaliser computed before attention dropout (layers.py:81-83)
         rowsum = jax.ops.segment_sum(e.T, row, num_segments=n,
                                      indices_are_sorted=True).T  # (H, N)
         e = nn.Dropout(self.attn_dropout)(e, deterministic=deterministic)
@@ -130,6 +157,7 @@ class GAT(nn.Module):
     instance_normalization: bool = False
     diag: bool = True
     dtype: jnp.dtype = jnp.float32
+    adj_dtype: jnp.dtype = jnp.bfloat16
 
     @nn.compact
     def __call__(self, x, graph: Graph, *, deterministic: bool = True):
@@ -150,7 +178,7 @@ class GAT(nn.Module):
             x = MultiHeadGraphAttention(
                 n_head=self.n_heads[i], f_in=f_in, f_out=self.n_units[i + 1],
                 attn_dropout=self.attn_dropout, diag=self.diag,
-                dtype=self.dtype, name=f"gat_{i}")(
+                dtype=self.dtype, adj_dtype=self.adj_dtype, name=f"gat_{i}")(
                     x, graph, deterministic=deterministic)
             if self.diag:
                 x = x.mean(axis=0)

@@ -61,11 +61,10 @@ def shard_kg_arrays(mesh: Mesh, feats, graph):
         nd = x.ndim if ndim_hint is None else ndim_hint
         return jax.device_put(x, entity_sharding(mesh, nd))
 
+    import dataclasses as _dc
     feats = type(feats)(*[put(f) for f in feats])
-    graph = type(graph)(
-        n_nodes=graph.n_nodes, n_edges=graph.n_edges,
-        row=put(graph.row), col=put(graph.col),
-        w=put(graph.w), mask=put(graph.mask))
+    graph = _dc.replace(graph, row=put(graph.row), col=put(graph.col),
+                        w=put(graph.w), mask=put(graph.mask))
     return feats, graph
 
 

@@ -50,7 +50,9 @@ def test_gat_layer_parity():
         outs.append((hp / rowsum.unsqueeze(1)).numpy())
     want = np.stack(outs)
 
-    layer = MultiHeadGraphAttention(n_head=heads, f_in=f, f_out=f, diag=True)
+    import jax.numpy as _jnp
+    layer = MultiHeadGraphAttention(n_head=heads, f_in=f, f_out=f, diag=True,
+                                    adj_dtype=_jnp.float32)
     params = {"params": {"w": jnp.asarray(w), "a_src_dst": jnp.asarray(a)}}
     got = np.asarray(layer.apply(params, jnp.asarray(x), g))
     np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-5)
@@ -72,7 +74,8 @@ def test_gcn_parity():
     h = torch.relu(adj_t @ (torch.tensor(x) @ torch.tensor(w1)) + torch.tensor(b1))
     want = (adj_t @ (h @ torch.tensor(w2)) + torch.tensor(b2)).numpy()
 
-    gcn = GCN(nfeat=fin, nhid=fh, nout=fo, dropout=0.0)
+    gcn = GCN(nfeat=fin, nhid=fh, nout=fo, dropout=0.0,
+              adj_dtype=jnp.float32)
     params = {"params": {
         "gc1": {"weight": jnp.asarray(w1), "bias": jnp.asarray(b1)},
         "gc2": {"weight": jnp.asarray(w2), "bias": jnp.asarray(b2)},

@@ -53,7 +53,8 @@ def test_sharded_step_matches_single_device(setup):
                        replicated(mesh))
     feats_s = type(feats)(*[None if f is None else jax.device_put(f, ent2)
                             for f in feats])
-    graph_s = type(graph)(n_nodes=graph.n_nodes, n_edges=graph.n_edges,
+    import dataclasses as _dc
+    graph_s = _dc.replace(graph,
                           row=jax.device_put(jnp.asarray(graph.row), ent1),
                           col=jax.device_put(jnp.asarray(graph.col), ent1),
                           w=jax.device_put(jnp.asarray(graph.w), ent1),
