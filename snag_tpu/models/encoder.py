@@ -71,7 +71,10 @@ class MultiModalEncoder(nn.Module):
     attr_input_dim: int
     char_feature_dim: int
     fusion_kind: str = "mformer"   # mformer | mformer_single | mean | none
-    dtype: Any = jnp.float32
+
+    @property
+    def dtype(self):
+        return jnp.bfloat16 if self.cfg.dtype == "bfloat16" else jnp.float32
 
     def setup(self):
         cfg = self.cfg

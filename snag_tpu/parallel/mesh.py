@@ -28,6 +28,27 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 DATA_AXIS = "data"
 
 
+def initialize_distributed(coordinator_address: Optional[str] = None,
+                           num_processes: Optional[int] = None,
+                           process_id: Optional[int] = None) -> None:
+    """Multi-host entry (replaces distributed_utils.init_distributed_mode,
+    reference src/distributed_utils.py:14-35): jax.distributed over DCN;
+    env-var discovery (JAX_COORDINATOR_ADDRESS / SLURM) when args omitted."""
+    import os
+    if coordinator_address is None:
+        coordinator_address = os.environ.get("JAX_COORDINATOR_ADDRESS")
+    if coordinator_address is None:
+        return  # single process
+    jax.distributed.initialize(coordinator_address=coordinator_address,
+                               num_processes=num_processes,
+                               process_id=process_id)
+
+
+def is_main_process() -> bool:
+    """Host-0 gating (replaces distributed_utils.is_main_process)."""
+    return jax.process_index() == 0
+
+
 def make_mesh(n_devices: Optional[int] = None, axis: str = DATA_AXIS) -> Mesh:
     devices = jax.devices()
     if n_devices is not None:
