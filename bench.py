@@ -15,6 +15,7 @@ from __future__ import annotations
 
 import dataclasses
 import json
+import os
 import time
 
 import jax
@@ -44,6 +45,7 @@ def main():
         noise_ratio=0.2, mask_ratio=0.7, random_seed=3408,
         synth_ents=30000, synth_rels=2000, synth_triples=150000,
         synth_img_dim=2048, exp_name="bench", data_rate=0.3,
+        dtype=os.environ.get("BENCH_DTYPE", "bfloat16"),
     )
     cfg = finalize_config(cfg, data_root="/tmp/snag_bench_data")
 
@@ -93,6 +95,9 @@ def main():
     full_rank_eval(joint[tl], joint[tr], use_csls=True, csls_k=3)
     eval_ms = (time.perf_counter() - t0) * 1000
 
+    # MKGC triples/sec/chip at DB15K geometry (BASELINE.json headline)
+    mkgc_tps = _bench_mkgc()
+
     # Reference epoch = ceil(4500/3500) = 2 steps on DBP15K with data_rate
     # 0.3; report step throughput as the headline.
     print(json.dumps({
@@ -105,9 +110,37 @@ def main():
             "full_rank_eval_ms": round(eval_ms, 2),
             "n_entities": cfg.synth_ents,
             "batch_size": b,
+            "dtype": cfg.dtype,
+            "mkgc_triples_per_sec": mkgc_tps,
             "device": str(jax.devices()[0]),
         },
     }))
+
+
+def _bench_mkgc() -> float:
+    """MKGC margin-ranking step throughput at DB15K geometry
+    (~12.8K entities, emb 128, neg 32, batch ~size of 1/1024 of train)."""
+    from snag_tpu.mkgc.config import MKGCConfig
+    from snag_tpu.mkgc.data import load_mkgc_data
+    from snag_tpu.mkgc.train import MKGCRunner
+    from snag_tpu.utils.logging import create_logger
+
+    cfg = MKGCConfig(data_choice="SYNTH", emb_dim=128, num_batch=64,
+                     neg_num=32, margin=1.0, joint_way="Mformer_hd_graph",
+                     num_proj=2, add_noise=1, noise_ratio=0.2, mask_ratio=0.7,
+                     use_pool=1, pool_dim=256, num_hidden_layers=1,
+                     num_attention_heads=2, synth_ents=12800, synth_rels=256,
+                     synth_triples=90000, synth_vis_dim=4096,
+                     synth_txt_dim=768, random_seed=7, log_every=10**9)
+    runner = MKGCRunner(cfg, create_logger(name="bench_mkgc"))
+    runner.train_epoch(0)  # compile + first epoch
+    t0 = time.perf_counter()
+    n_epochs = 3
+    for e in range(1, 1 + n_epochs):
+        runner.train_epoch(e)
+    dt = time.perf_counter() - t0
+    triples = (len(runner.data.train) // runner.batch_size) * runner.batch_size
+    return round(n_epochs * triples / dt, 1)
 
 
 if __name__ == "__main__":

@@ -166,16 +166,25 @@ def _synthetic(cfg: MKGCConfig, logger) -> MKGCData:
     lat = rng.normal(size=(e, 16))
     rel_off = rng.normal(size=(r, 16))
 
-    # deterministic nearest-neighbour targets -> exactly TransE-shaped;
-    # enumerate all (h, r) pairs and keep a shuffled subset
-    targets = lat[:, None, :] + rel_off[None, :, :]          # (e, r, 16)
-    d2 = ((targets[:, :, None, :] - lat[None, None, :, :]) ** 2).sum(-1)
-    tails = d2.argmin(axis=2)                                # (e, r)
-    hs, rs = np.meshgrid(np.arange(e), np.arange(r), indexing="ij")
-    triples = np.stack([hs.ravel(), rs.ravel(), tails.ravel()], axis=1)
-    triples = triples[triples[:, 0] != triples[:, 2]]
-    rng.shuffle(triples)
-    triples = triples[:cfg.synth_triples].astype(np.int32)
+    if e * e * r <= 2e8:
+        # deterministic nearest-neighbour targets -> exactly TransE-shaped;
+        # enumerate all (h, r) pairs and keep a shuffled subset
+        targets = lat[:, None, :] + rel_off[None, :, :]      # (e, r, 16)
+        d2 = ((targets[:, :, None, :] - lat[None, None, :, :]) ** 2).sum(-1)
+        tails = d2.argmin(axis=2)                            # (e, r)
+        hs, rs = np.meshgrid(np.arange(e), np.arange(r), indexing="ij")
+        triples = np.stack([hs.ravel(), rs.ravel(), tails.ravel()], axis=1)
+        triples = triples[triples[:, 0] != triples[:, 2]]
+        rng.shuffle(triples)
+        triples = triples[:cfg.synth_triples].astype(np.int32)
+    else:
+        # large scale (throughput benchmarking): random triples — structure
+        # quality is irrelevant, only shapes matter
+        hs = rng.integers(0, e, size=cfg.synth_triples)
+        rs = rng.integers(0, r, size=cfg.synth_triples)
+        ts = rng.integers(0, e, size=cfg.synth_triples)
+        keep = hs != ts
+        triples = np.stack([hs[keep], rs[keep], ts[keep]], axis=1).astype(np.int32)
     rng.shuffle(triples)
     n = len(triples)
     train = triples[:int(0.8 * n)]

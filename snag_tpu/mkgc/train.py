@@ -137,9 +137,10 @@ def make_score_fn(model: MKGCModel):
 
 
 def filtered_ranks(cfg: MKGCConfig, model, params, feats, data: MKGCData,
-                   triples: np.ndarray, chunk: int = 256):
+                   triples: np.ndarray, chunk: int = 256, score_fns=None):
     """Filtered link-prediction ranks for both directions."""
-    all_embs, tail_scores, head_scores = make_score_fn(model)
+    all_embs, tail_scores, head_scores = (score_fns if score_fns is not None
+                                          else make_score_fn(model))
     jh, jt = all_embs(params, feats)
 
     ranks = []
@@ -214,6 +215,7 @@ class MKGCRunner:
                                                stats_vis, stats_txt)
 
         self.batch_size = max(1, len(self.data.train) // cfg.num_batch)
+        self._score_fns = make_score_fn(self.model)
         self.best_mrr = 0.0
         self.best_params = None
         self.bad_evals = 0
@@ -237,7 +239,8 @@ class MKGCRunner:
         if split == "valid" and len(triples) > self.cfg.valid_max:
             triples = triples[:self.cfg.valid_max]
         ranks = filtered_ranks(self.cfg, self.model, self.state.params,
-                               self.feats, self.data, triples)
+                               self.feats, self.data, triples,
+                               score_fns=self._score_fns)
         return summarize_lp(ranks)
 
     def run(self):

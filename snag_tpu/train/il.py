@@ -16,6 +16,7 @@ host (it must update the numpy train set and log the true-link ratio).
 from __future__ import annotations
 
 from dataclasses import dataclass, field
+from functools import partial
 from typing import List, Tuple
 
 import jax
@@ -49,20 +50,8 @@ class ILState:
 
 
 @jax.jit
-def mine_new_links(emb: jnp.ndarray, left_cand, left_valid, right_cand,
-                   right_valid, cand_right, fresh: jnp.ndarray) -> jnp.ndarray:
-    """One mining round (Iter_new_links, SNAG.py:192-208).
-
-    ``emb`` must already be L2-normalized.  ``fresh`` selects whether the
-    persistence filter applies (epoch cadence logic lives in the Runner).
-    Returns the new cand_right array.
-    """
-    d = pairwise_distances(emb[left_cand], emb[right_cand])
-    d_l = jnp.where(right_valid[None, :], d, INF)
-    d_r = jnp.where(left_valid[:, None], d, INF)
-    preds_l = jnp.argmin(d_l, axis=1)              # (Lc,) index into right_cand
-    preds_r = jnp.argmin(d_r, axis=0)              # (Rc,) index into left_cand
-
+def _mine_from_preds(left_cand, left_valid, right_cand, right_valid,
+                     cand_right, preds_l, preds_r, fresh):
     lc = left_cand.shape[0]
     mutual = preds_r[preds_l] == jnp.arange(lc)
     pair_right = right_cand[preds_l]
@@ -70,6 +59,72 @@ def mine_new_links(emb: jnp.ndarray, left_cand, left_valid, right_cand,
     persist = cand_right == pair_right
     selected = keep & jnp.where(fresh, True, persist)
     return jnp.where(selected, pair_right, -1)
+
+
+@jax.jit
+def _mutual_argmins(emb, left_cand, left_valid, right_cand, right_valid):
+    d = pairwise_distances(emb[left_cand], emb[right_cand])
+    d_l = jnp.where(right_valid[None, :], d, INF)
+    d_r = jnp.where(left_valid[:, None], d, INF)
+    return jnp.argmin(d_l, axis=1), jnp.argmin(d_r, axis=0)
+
+
+@partial(jax.jit, static_argnames=("chunk",))
+def _mutual_argmins_chunked(emb, left_cand, left_valid, right_cand,
+                            right_valid, chunk: int = 4096):
+    """Two-direction argmins without materializing the (Lc, Rc) matrix —
+    lax.map over left chunks, carrying the running column minima."""
+    lc = left_cand.shape[0]
+    rc = right_cand.shape[0]
+    pad = (-lc) % chunk
+    lcand = jnp.pad(left_cand, (0, pad))
+    lval = jnp.pad(left_valid, (0, pad))
+    n_chunks = (lc + pad) // chunk
+
+    right_emb = emb[right_cand]
+
+    def body(carry, i):
+        colmin, colarg = carry
+        sl = jax.lax.dynamic_slice(lcand, (i * chunk,), (chunk,))
+        vl = jax.lax.dynamic_slice(lval, (i * chunk,), (chunk,))
+        d = pairwise_distances(emb[sl], right_emb)          # (chunk, Rc)
+        d_l = jnp.where(right_valid[None, :], d, INF)
+        pl = jnp.argmin(d_l, axis=1)
+        d_r = jnp.where(vl[:, None], d, INF)
+        cmin = d_r.min(axis=0)
+        carg = jnp.argmin(d_r, axis=0) + i * chunk
+        better = cmin < colmin
+        colmin = jnp.where(better, cmin, colmin)
+        colarg = jnp.where(better, carg, colarg)
+        return (colmin, colarg), pl
+
+    (colmin, preds_r), preds_l = jax.lax.scan(
+        body, (jnp.full((rc,), INF), jnp.zeros((rc,), jnp.int32)),
+        jnp.arange(n_chunks))
+    preds_l = preds_l.reshape(-1)[:lc]
+    return preds_l, preds_r
+
+
+# above this many candidate pairs the full mining matrix would exceed HBM
+MINE_FULL_MAX = 25000
+
+
+def mine_new_links(emb: jnp.ndarray, left_cand, left_valid, right_cand,
+                   right_valid, cand_right, fresh) -> jnp.ndarray:
+    """One mining round (Iter_new_links, SNAG.py:192-208).
+
+    ``emb`` must already be L2-normalized.  ``fresh`` selects whether the
+    persistence filter applies (epoch cadence logic lives in the Runner).
+    Returns the new cand_right array.
+    """
+    if left_cand.shape[0] > MINE_FULL_MAX:
+        preds_l, preds_r = _mutual_argmins_chunked(
+            emb, left_cand, left_valid, right_cand, right_valid)
+    else:
+        preds_l, preds_r = _mutual_argmins(
+            emb, left_cand, left_valid, right_cand, right_valid)
+    return _mine_from_preds(left_cand, left_valid, right_cand, right_valid,
+                            cand_right, preds_l, preds_r, jnp.asarray(fresh))
 
 
 def promote_candidates(il: ILState, train_ill: np.ndarray,

@@ -23,3 +23,24 @@ def test_full_run_with_il(synth_cfg, synth_data):
     # pools drained by promotion
     lv = int(np.asarray(runner.il_state.left_valid).sum())
     assert lv < len(synth_data.left_non_train)
+
+
+def test_chunked_mining_matches_full(synth_cfg, synth_data):
+    import jax.numpy as jnp
+    import snag_tpu.train.il as il_mod
+    rng = np.random.default_rng(0)
+    n = synth_data.ent_num
+    emb = jnp.asarray(rng.normal(size=(n, 16)).astype(np.float32))
+    emb = emb / jnp.linalg.norm(emb, axis=1, keepdims=True)
+    il = il_mod.ILState.init(synth_data.left_non_train,
+                             synth_data.right_non_train)
+    full = il_mod.mine_new_links(emb, il.left_cand, il.left_valid,
+                                 il.right_cand, il.right_valid,
+                                 il.cand_right, True)
+    pl, pr = il_mod._mutual_argmins_chunked(
+        emb, il.left_cand, il.left_valid, il.right_cand, il.right_valid,
+        chunk=8)
+    chunked = il_mod._mine_from_preds(il.left_cand, il.left_valid,
+                                      il.right_cand, il.right_valid,
+                                      il.cand_right, pl, pr, jnp.asarray(True))
+    np.testing.assert_array_equal(np.asarray(full), np.asarray(chunked))
