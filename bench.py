@@ -31,7 +31,7 @@ def main():
     from snag_tpu.models.encoder import prepare_features, prepare_stats
     from snag_tpu.train.optim import build_optimizer
     from snag_tpu.train.step import (create_train_state, make_embed_fn,
-                                     make_train_step)
+                                     make_noise_fn, make_train_step)
     from snag_tpu.eval.ranking import full_rank_eval
 
     # DBP15K-shaped synthetic workload (run_snag.sh geometry)
@@ -71,17 +71,33 @@ def main():
         links = jnp.tile(links, (reps, 1))[:b]
     valid = jnp.ones((b,), dtype=bool)
 
+    noise_fn = make_noise_fn(cfg, stats)
+
     # warmup / compile
-    state, loss, _ = step(state, links, valid, feats, graph, jnp.asarray(0))
+    nfeats, _ = noise_fn(state.base_key, feats, jnp.asarray(0))
+    state, loss, _ = step(state, links, valid, nfeats, graph, jnp.asarray(0))
     jax.block_until_ready(loss)
 
-    n_iter = 20
+    # sustained step throughput, pipelined (one host sync at the end — a
+    # device->host readback costs ~350 ms through the axon tunnel and would
+    # otherwise dominate; real-hardware readbacks are microseconds)
+    n_iter = 30
     t0 = time.perf_counter()
     for i in range(n_iter):
-        state, loss, _ = step(state, links, valid, feats, graph, jnp.asarray(i))
+        state, loss, _ = step(state, links, valid, nfeats, graph,
+                              jnp.asarray(i))
     jax.block_until_ready(loss)
     dt = time.perf_counter() - t0
     steps_per_sec = n_iter / dt
+
+    # per-epoch noise cost, same pipelined measurement
+    t0 = time.perf_counter()
+    for e in range(10):
+        nfeats, _ = noise_fn(state.base_key, feats, jnp.asarray(e))
+    jax.block_until_ready(nfeats.img)
+    noise_ms = (time.perf_counter() - t0) / 10 * 1000
+    # DBP15K epoch = 1 noise + ceil(4500/3500)=2 steps
+    epoch_ms = noise_ms + 2 * 1000 / steps_per_sec
 
     # full-rank eval latency (10.5K x 10.5K, the DBP15K test-split size)
     embed = make_embed_fn(cfg, model)
@@ -107,6 +123,7 @@ def main():
         "vs_baseline": round(steps_per_sec / 1.0, 3),
         "extra": {
             "step_ms": round(1000 / steps_per_sec, 2),
+            "epoch_ms": round(epoch_ms, 2),
             "full_rank_eval_ms": round(eval_ms, 2),
             "n_entities": cfg.synth_ents,
             "batch_size": b,

@@ -45,6 +45,7 @@ class MKGCConfig:
     add_noise: int = 1
     use_pool: int = 1
     pool_dim: int = 256                # pooled feature width when use_pool
+    triple_order: str = "hrt"          # column order in triple files: hrt | htr (OpenKE)
 
     intermediate_size: int = 512
     eval_epoch: int = 50

@@ -44,14 +44,20 @@ class MKGCData:
     rt_to_h: Dict[Tuple[int, int], List[int]]
 
 
-def _read_triples(path: str, ent2id, rel2id) -> np.ndarray:
+def _read_triples(path: str, ent2id, rel2id, order: str = "hrt") -> np.ndarray:
+    """``order``: "hrt" (tab files) or "htr" (OpenKE train2id-style)."""
     out = []
     with open(path, encoding="utf-8") as f:
         for line in f:
             parts = line.rstrip("\n").split("\t")
             if len(parts) < 3:
                 parts = line.split()
-            h, r, t = parts[0], parts[1], parts[2]
+            if len(parts) < 3:
+                continue  # OpenKE first line = count
+            if order == "htr":
+                h, t, r = parts[0], parts[1], parts[2]
+            else:
+                h, r, t = parts[0], parts[1], parts[2]
             out.append((ent2id.setdefault(h, len(ent2id)),
                         rel2id.setdefault(r, len(rel2id)),
                         ent2id.setdefault(t, len(ent2id))))
@@ -130,10 +136,12 @@ def load_mkgc_data(cfg: MKGCConfig, logger=None) -> MKGCData:
     rel2id = _load_id_map(osp.join(d, "relation2id.txt")) or {}
 
     def tri(name):
-        for ext in (".txt", ".tsv"):
-            p = osp.join(d, name + ext)
-            if osp.exists(p):
-                return _read_triples(p, ent2id, rel2id)
+        for stem, order in ((name, cfg.triple_order),
+                            (name + "2id", "htr")):      # OpenKE layout
+            for ext in (".txt", ".tsv"):
+                p = osp.join(d, stem + ext)
+                if osp.exists(p):
+                    return _read_triples(p, ent2id, rel2id, order)
         raise FileNotFoundError(f"{name} triples not found under {d}")
 
     train, valid, test = tri("train"), tri("valid"), tri("test")

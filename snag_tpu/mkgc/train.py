@@ -66,17 +66,33 @@ def build_mkgc_optimizer(cfg: MKGCConfig, params):
     return tx
 
 
+def make_mkgc_noise_fn(cfg: MKGCConfig, stats_vis, stats_txt):
+    """Per-epoch noisy tables (noise_update=epoch) computed once per epoch."""
+
+    @jax.jit
+    def noise_fn(base_key, feats: MKGCFeatures, epoch):
+        kv, kt = jax.random.split(
+            jax.random.fold_in(jax.random.fold_in(base_key, epoch), 11))
+        return MKGCFeatures(
+            visual=noise_ops.noise_mask_table(
+                kv, feats.visual, stats_vis, cfg.noise_ratio, cfg.mask_ratio),
+            textual=noise_ops.noise_mask_table(
+                kt, feats.textual, stats_txt, cfg.noise_ratio, cfg.mask_ratio))
+
+    return noise_fn
+
+
 def make_mkgc_train_step(cfg: MKGCConfig, model: MKGCModel, tx,
                          stats_vis: noise_ops.TableStats,
                          stats_txt: noise_ops.TableStats):
-    add_noise = bool(cfg.add_noise)
-    per_step_noise = cfg.noise_update == "step"
+    # epoch-cadence noise is applied outside the step (make_mkgc_noise_fn);
+    # step-cadence noise regenerates per step here (readme.md noise_level)
+    per_step_noise = bool(cfg.add_noise) and cfg.noise_update == "step"
 
     @jax.jit
     def step(state: MKGCState, pos, feats: MKGCFeatures, epoch):
-        nkey_base = jax.random.fold_in(
-            state.base_key, state.step if per_step_noise else epoch)
-        if add_noise:
+        if per_step_noise:
+            nkey_base = jax.random.fold_in(state.base_key, state.step)
             kv, kt = jax.random.split(jax.random.fold_in(nkey_base, 11))
             feats = MKGCFeatures(
                 visual=noise_ops.noise_mask_table(
@@ -213,6 +229,9 @@ class MKGCRunner:
         stats_txt = noise_ops.table_stats(self.feats.textual)
         self.train_step = make_mkgc_train_step(cfg, self.model, self.tx,
                                                stats_vis, stats_txt)
+        self._noise_fn = None
+        if cfg.add_noise and cfg.noise_update != "step":
+            self._noise_fn = make_mkgc_noise_fn(cfg, stats_vis, stats_txt)
 
         self.batch_size = max(1, len(self.data.train) // cfg.num_batch)
         self._score_fns = make_score_fn(self.model)
@@ -224,15 +243,20 @@ class MKGCRunner:
         perm = np.random.permutation(len(self.data.train))
         data = self.data.train[perm]
         b = self.batch_size
-        total, nb = 0.0, 0
         n_full = (len(data) // b) * b
+        feats_epoch = self.feats
+        if self._noise_fn is not None:
+            feats_epoch = self._noise_fn(self.state.base_key, self.feats,
+                                         jnp.asarray(epoch))
+        losses = []
         for i in range(0, n_full, b):
             pos = jnp.asarray(data[i:i + b].astype(np.int32))
-            self.state, loss, _ = self.train_step(self.state, pos, self.feats,
+            self.state, loss, _ = self.train_step(self.state, pos, feats_epoch,
                                                   jnp.asarray(epoch))
-            total += float(loss)
-            nb += 1
-        return total / max(nb, 1)
+            losses.append(loss)
+        # one host sync per epoch (device readbacks are expensive through
+        # the remote tunnel)
+        return float(jnp.stack(losses).mean()) if losses else 0.0
 
     def evaluate(self, split: str = "valid"):
         triples = getattr(self.data, split)

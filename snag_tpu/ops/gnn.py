@@ -23,7 +23,7 @@ import numpy as np
 from snag_tpu.data.graph import Graph
 from snag_tpu.ops import inits
 from snag_tpu.ops.segment import (edge_gather_col, edge_gather_row,
-                                  segment_reduce_sorted, spmm)
+                                  segment_reduce_sorted)
 
 
 class GraphConvolution(nn.Module):

@@ -166,6 +166,10 @@ class Runner:
                 cfg, self.model, self.tx, self.stats)
         else:
             self.train_step = make_train_step(cfg, self.model, self.tx, self.stats)
+        self._noise_fn = None
+        if cfg.add_noise and cfg.model_name != "MSNEA":
+            from snag_tpu.train.step import make_noise_fn
+            self._noise_fn = make_noise_fn(cfg, self.stats)
 
     def _batches(self):
         """Shuffled, capacity-padded batches (DataLoader equivalent)."""
@@ -184,8 +188,14 @@ class Runner:
 
     # ------------------------------------------------------------------
     def train_epoch(self) -> float:
-        total = 0.0
-        nb = 0
+        # losses accumulate as device scalars; ONE host sync per epoch (a
+        # device->host readback costs ~350 ms through the axon tunnel)
+        losses = []
+        feats_epoch = self.feats
+        if self._noise_fn is not None:
+            # per-epoch noisy tables (update_noise, main.py:253-254)
+            feats_epoch, _ = self._noise_fn(self.state.base_key, self.feats,
+                                            jnp.asarray(self.epoch))
         for links, valid in self._batches():
             if self.cfg.model_name == "MSNEA":
                 self.state, loss, aux = self.train_step(
@@ -193,15 +203,14 @@ class Runner:
                     jnp.asarray(self.epoch), self.bank)
             elif self.replay_neg is not None:
                 self.state, loss, aux, self.replay_neg = self.train_step(
-                    self.state, links, valid, self.feats, self.graph,
+                    self.state, links, valid, feats_epoch, self.graph,
                     jnp.asarray(self.epoch), self.replay_neg,
                     jnp.asarray(self.replay_ready))
             else:
                 self.state, loss, aux = self.train_step(
-                    self.state, links, valid, self.feats, self.graph,
+                    self.state, links, valid, feats_epoch, self.graph,
                     jnp.asarray(self.epoch))
-            total += float(loss)
-            nb += 1
+            losses.append(loss)
 
         if self.replay_neg is not None and not self.replay_ready:
             n_unset = int((self.replay_neg < 0).sum())
@@ -221,7 +230,7 @@ class Runner:
                 names = self.cfg.active_modalities()
                 for mi, m in enumerate(names[:arr.shape[0]]):
                     self._last_aux[f"w_{m}"] = float(arr[mi])
-        return total / max(nb, 1)
+        return float(jnp.stack(losses).mean()) if losses else 0.0
 
     # ------------------------------------------------------------------
     def _joint_emb(self, params=None):

@@ -70,3 +70,22 @@ def test_snag_learns_alignment(synth_cfg, synth_data):
     n_test = len(synth_data.test_ill)
     random_mrr = float(np.mean(1.0 / (1 + np.arange(n_test))))
     assert res.mrr_l2r > 5 * random_mrr, (res.mrr_l2r, random_mrr)
+
+
+def test_snag_with_surface_modalities(synth_cfg, synth_data):
+    """6-token fusion path (name/char active)."""
+    import dataclasses as dc
+    from snag_tpu.data.dataset import load_data
+    cfg = dc.replace(synth_cfg, use_surface=1, w_name=True, w_char=True,
+                     inner_view_num=6, add_noise=0)
+    cfg.max_position_embeddings = 7
+    cfg.modal_num = len(cfg.active_modalities())
+    assert cfg.modal_num == 6
+    data = load_data(cfg)
+    runner = Runner(cfg, create_logger(name="surface"), data=data)
+    l0 = runner.train_epoch()
+    runner.epoch = 1
+    l1 = runner.train_epoch()
+    assert np.isfinite(l0) and np.isfinite(l1) and l1 < l0
+    res = runner.evaluate()
+    assert res.mrr_l2r > 0
