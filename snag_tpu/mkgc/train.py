@@ -89,7 +89,7 @@ def make_mkgc_train_step(cfg: MKGCConfig, model: MKGCModel, tx,
     # step-cadence noise regenerates per step here (readme.md noise_level)
     per_step_noise = bool(cfg.add_noise) and cfg.noise_update == "step"
 
-    @jax.jit
+    @partial(jax.jit, donate_argnums=(0,))
     def step(state: MKGCState, pos, feats: MKGCFeatures, epoch):
         if per_step_noise:
             nkey_base = jax.random.fold_in(state.base_key, state.step)

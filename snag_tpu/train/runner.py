@@ -48,6 +48,10 @@ def _normalized(emb):
     return l2norm(emb)
 
 
+def _tree_copy(tree):
+    return jax.tree_util.tree_map(lambda x: x.copy(), tree)
+
+
 class Runner:
     def __init__(self, cfg: Config, logger, data: Optional[KGData] = None):
         self.cfg = cfg
@@ -241,7 +245,16 @@ class Runner:
     def evaluate(self, last_epoch: bool = False, save_name: str = "",
                  params=None):
         cfg = self.cfg
-        joint, _ = self._joint_emb(params)
+        joint, weight = self._joint_emb(params)
+        if weight is not None and cfg.model_name in ("EVA", "MCLEA", "SNAG"):
+            # learned modality weights (main.py:361-373)
+            w = np.asarray(weight)
+            if w.ndim == 2:      # per-entity attention weights -> mean
+                w = w.mean(axis=0)
+            names = cfg.active_modalities()
+            desc = "-".join(f"[{m}_{w[i]:.3f}]" for i, m in
+                            enumerate(names[:len(w)]))
+            self.logger.info(f"modality weights: {desc}")
         emb = _normalized(joint)
         res = full_rank_eval(emb[self.test_left], emb[self.test_right],
                              top_k=(1, 10, 50), csls_k=cfg.csls_k,
@@ -345,7 +358,10 @@ class Runner:
                                       init_state=False)
                 if self.best_params is not None:
                     self.logger.info("load from the best model before IL... ")
-                    self.state = TrainState(params=self.best_params,
+                    # copy: the train step donates state buffers — loading
+                    # best_params by reference would let a later step delete
+                    # the best-model copy
+                    self.state = TrainState(params=_tree_copy(self.best_params),
                                             opt_state=self.state.opt_state,
                                             step=self.state.step,
                                             base_key=self.state.base_key)
@@ -391,7 +407,7 @@ class Runner:
 
         if self.best_params is not None:
             self.logger.info("load from the best model before final testing ... ")
-            self.state = TrainState(params=self.best_params,
+            self.state = TrainState(params=_tree_copy(self.best_params),
                                     opt_state=self.state.opt_state,
                                     step=self.state.step,
                                     base_key=self.state.base_key)

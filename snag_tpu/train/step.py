@@ -76,7 +76,7 @@ def make_train_step(cfg: Config, model, tx,
     on the live embedding table)."""
     add_noise = bool(cfg.add_noise) and cfg.model_name != "MSNEA"
 
-    @jax.jit
+    @functools.partial(jax.jit, donate_argnums=(0,))
     def step(state: TrainState, links, valid, feats: FeaturePack, graph,
              epoch, **model_kwargs):
         noised = feats
@@ -117,7 +117,7 @@ def make_meaformer_replay_step(cfg: Config, model, tx,
     aside)."""
     add_noise = bool(cfg.add_noise)
 
-    @jax.jit
+    @functools.partial(jax.jit, donate_argnums=(0, 6))
     def step(state: TrainState, links, valid, feats: FeaturePack, graph,
              epoch, replay_neg, replay_ready):
         noised = feats
@@ -184,7 +184,7 @@ def make_msnea_train_step(cfg: Config, model, tx) -> Callable:
     (reference samples on the host each step, MSNEA_tools.py:37-90)."""
     from snag_tpu.models.msnea import sample_triple_batch
 
-    @jax.jit
+    @functools.partial(jax.jit, donate_argnums=(0,))
     def step(state: TrainState, links, valid, feats: FeaturePack, graph,
              epoch, bank):
         skey = jax.random.fold_in(state.base_key, state.step + 31337)

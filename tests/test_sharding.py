@@ -43,8 +43,11 @@ def test_sharded_step_matches_single_device(setup):
     cfg, model, state, step, links, valid, feats, graph = setup
     assert len(jax.devices()) == 8, "conftest must provide 8 CPU devices"
 
-    # single-device result
-    s1, loss1, _ = step(state, links, valid, feats, graph, jnp.asarray(0))
+    # single-device result (the step donates its state arg — feed a copy)
+    def tree_copy(t):
+        return jax.tree_util.tree_map(lambda x: x.copy(), t)
+    s1, loss1, _ = step(tree_copy(state), links, valid, feats, graph,
+                        jnp.asarray(0))
 
     # sharded: entities/edges over the mesh, batch rows over the mesh,
     # params replicated
@@ -59,8 +62,8 @@ def test_sharded_step_matches_single_device(setup):
                           col=jax.device_put(jnp.asarray(graph.col), ent1),
                           w=jax.device_put(jnp.asarray(graph.w), ent1),
                           mask=jax.device_put(jnp.asarray(graph.mask), ent1))
-    state_s = type(state)(params=jax.device_put(state.params, rep),
-                          opt_state=jax.device_put(state.opt_state, rep),
+    state_s = type(state)(params=jax.device_put(tree_copy(state.params), rep),
+                          opt_state=jax.device_put(tree_copy(state.opt_state), rep),
                           step=state.step, base_key=state.base_key)
     links_s = jax.device_put(links, batch_sharding(mesh, 2))
     valid_s = jax.device_put(valid, batch_sharding(mesh, 1))
