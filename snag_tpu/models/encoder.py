@@ -89,12 +89,17 @@ class MultiModalEncoder(nn.Module):
         self.name_fc = _tdense(cfg.char_dim, 300, "name_fc", self.dtype)
         self.char_fc = _tdense(cfg.char_dim, self.char_feature_dim, "char_fc", self.dtype)
 
+        # --remat: rematerialize GNN activations in the backward pass (trades
+        # FLOPs for memory; for the 100K-entity datasets)
+        gcn_cls = nn.remat(GCN) if cfg.remat else GCN
+        gat_cls = nn.remat(GAT) if cfg.remat else GAT
         if cfg.structure_encoder == "gcn":
             u = cfg.n_units()
-            self.cross_graph_model = GCN(u[0], u[1], u[2], dropout=cfg.dropout,
-                                         dtype=self.dtype)
+            self.cross_graph_model = gcn_cls(u[0], u[1], u[2],
+                                             dropout=cfg.dropout,
+                                             dtype=self.dtype)
         else:
-            self.cross_graph_model = GAT(
+            self.cross_graph_model = gat_cls(
                 n_units=cfg.n_units(), n_heads=cfg.n_heads(),
                 dropout=cfg.dropout, attn_dropout=cfg.attn_dropout,
                 instance_normalization=cfg.instance_normalization, diag=True,
