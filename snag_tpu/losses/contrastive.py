@@ -83,10 +83,13 @@ def icl_loss(
     eye = jnp.eye(b, dtype=jnp.float32)
     def sim(x, y):
         return jnp.dot(x, y.T, preferred_element_type=jnp.float32) / tau
-    logits_ab = sim(zis, zjs)
+    # one (2B, 2B) matmul yields all three similarity blocks
+    z = jnp.concatenate([zis, zjs], axis=0)
+    big = sim(z, z)
+    logits_ab = big[:b, b:]
     logits_ba = logits_ab.T
-    logits_aa = sim(zis, zis) - eye * LARGE_NUM
-    logits_bb = sim(zjs, zjs) - eye * LARGE_NUM
+    logits_aa = big[:b, :b] - eye * LARGE_NUM
+    logits_bb = big[b:, b:] - eye * LARGE_NUM
 
     if valid is not None:
         # padded rows must not serve as negatives in any block
@@ -163,12 +166,13 @@ def icl_loss_multi(
     b = zis.shape[1]
     eye = jnp.eye(b, dtype=jnp.float32)
 
-    ab = jnp.einsum("mbd,mcd->mbc", zis, zjs,
-                    preferred_element_type=jnp.float32) / tau
-    aa = jnp.einsum("mbd,mcd->mbc", zis, zis,
-                    preferred_element_type=jnp.float32) / tau - eye * LARGE_NUM
-    bb = jnp.einsum("mbd,mcd->mbc", zjs, zjs,
-                    preferred_element_type=jnp.float32) / tau - eye * LARGE_NUM
+    # one batched (M, 2B, 2B) einsum yields all three similarity blocks
+    z = jnp.concatenate([zis, zjs], axis=1)           # (M, 2B, d)
+    big = jnp.einsum("mbd,mcd->mbc", z, z,
+                     preferred_element_type=jnp.float32) / tau
+    ab = big[:, :b, b:]
+    aa = big[:, :b, :b] - eye * LARGE_NUM
+    bb = big[:, b:, b:] - eye * LARGE_NUM
 
     if valid is not None:
         colmask = jnp.where(valid[None, None, :], 0.0, -LARGE_NUM)
