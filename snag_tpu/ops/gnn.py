@@ -92,47 +92,48 @@ class MultiHeadGraphAttention(nn.Module):
         row, col, mask = graph.row, graph.col, graph.mask
         n = graph.n_nodes
 
+        # node features live in (N, H, F) layout end-to-end on the hot path:
+        # profiling showed the (H, N, F) <-> (E, H*F) transposes around the
+        # gathers cost several ms each at DBP15K scale
         if self.diag:
             w = self.param("w", jax.nn.initializers.ones, (H, 1, F))
-            h = x[None, :, :].astype(self.dtype) * w.astype(self.dtype)  # (H, N, F)
+            h_nhf = (x[:, None, :].astype(self.dtype)
+                     * w[:, 0, :][None, :, :].astype(self.dtype))  # (N, H, F)
             stdv = 1.0 / np.sqrt(2 * F)
             a = self.param("a_src_dst", inits.uniform_stdv(stdv), (H, 2 * F, 1))
         else:
             w = self.param("w", inits.xavier_uniform(), (H, self.f_in, F))
-            h = jnp.einsum("nf,hfo->hno", x.astype(self.dtype), w.astype(self.dtype),
-                           preferred_element_type=jnp.float32)
+            h_nhf = jnp.einsum("nf,hfo->nho", x.astype(self.dtype),
+                               w.astype(self.dtype),
+                               preferred_element_type=jnp.float32)
             a = self.param("a_src_dst", inits.xavier_uniform(), (H, 2 * F, 1))
 
-        h32 = h.astype(jnp.float32)
+        h_nhf = h_nhf.astype(jnp.float32)
         a_src = a[:, :F, 0].astype(jnp.float32)   # (H, F)
         a_dst = a[:, F:, 0].astype(jnp.float32)
         # score of edge (i <- j): [h_i ; h_j] . a == h_i.a_src + h_j.a_dst
-        s_src_nh = jnp.einsum("hnf,hf->nh", h32, a_src)       # (N, H)
-        s_dst_nh = jnp.einsum("hnf,hf->nh", h32, a_dst)
+        s_src_nh = jnp.einsum("nhf,hf->nh", h_nhf, a_src)     # (N, H)
+        s_dst_nh = jnp.einsum("nhf,hf->nh", h_nhf, a_dst)
 
         use_dropout = self.attn_dropout > 0 and not deterministic
         if not use_dropout:
             # scatter-free hot path: node->edge gathers carry CSR backward
-            # rules (ops/segment.py); per-head weighted neighbours + the
-            # attention mass (row normaliser) pack into ONE (E, H*(F+1))
-            # value matrix -> a single segment reduction per layer (the
-            # reference does 2 spmms per head, layers.py:81-85)
+            # rules (ops/segment.py); one (E, H*F) reduction for the weighted
+            # neighbours + one small (E, H) reduction for the attention mass
+            # (the reference does 2 spmms per head, layers.py:81-85)
             score_e = (edge_gather_row(s_src_nh, graph)
                        + edge_gather_col(s_dst_nh, graph))    # (E, H)
             e = jnp.exp(-nn.leaky_relu(score_e, negative_slope=0.2))
             e = jnp.where(mask[:, None], e, 0.0)
-            h_flat = h32.transpose(1, 0, 2).reshape(n, H * F)
-            gathered = edge_gather_col(h_flat, graph)
-            gathered = gathered.reshape(-1, H, F)             # (E, H, F)
-            packed = jnp.concatenate(
-                [e[:, :, None] * gathered, e[:, :, None]], axis=-1)
-            packed = packed.reshape(packed.shape[0], H * (F + 1))
-            agg = segment_reduce_sorted(packed, graph)
-            agg = agg.reshape(n, H, F + 1)
-            out = agg[..., :F] / agg[..., F:F + 1]
-            return out.transpose(1, 0, 2)                     # (H, N, F)
+            gathered = edge_gather_col(h_nhf.reshape(n, H * F), graph)
+            weighted = (gathered.reshape(-1, H, F)
+                        * e[:, :, None]).reshape(-1, H * F)
+            agg = segment_reduce_sorted(weighted, graph).reshape(n, H, F)
+            rowsum = segment_reduce_sorted(e, graph)          # (N, H)
+            return agg / rowsum[:, :, None]                   # (N, H, F)
 
         # general path: sorted-edge segment sums (supports attn dropout)
+        h32 = h_nhf.transpose(1, 0, 2)                        # (H, N, F)
         score = s_src_nh.T[:, row] + s_dst_nh.T[:, col]       # (H, E)
         e = jnp.exp(-nn.leaky_relu(score, negative_slope=0.2))
         e = jnp.where(mask[None, :], e, 0.0)
@@ -145,7 +146,7 @@ class MultiHeadGraphAttention(nn.Module):
             lambda we: jax.ops.segment_sum(we, row, num_segments=n,
                                            indices_are_sorted=True))(weighted)
         out = h_prime / (rowsum[:, :, None])
-        return out                                            # (H, N, F)
+        return out.transpose(1, 0, 2)                         # (N, H, F)
 
 
 class GAT(nn.Module):
@@ -179,14 +180,14 @@ class GAT(nn.Module):
                 n_head=self.n_heads[i], f_in=f_in, f_out=self.n_units[i + 1],
                 attn_dropout=self.attn_dropout, diag=self.diag,
                 dtype=self.dtype, adj_dtype=self.adj_dtype, name=f"gat_{i}")(
-                    x, graph, deterministic=deterministic)
+                    x, graph, deterministic=deterministic)   # (N, H, F)
             if self.diag:
-                x = x.mean(axis=0)
+                x = x.mean(axis=1)
             if i + 1 < num_layer:
                 if self.diag:
                     x = nn.elu(x)
                 else:
-                    x = nn.elu(x.transpose(1, 0, 2).reshape(graph.n_nodes, -1))
+                    x = nn.elu(x.reshape(graph.n_nodes, -1))
         if not self.diag:
-            x = x.mean(axis=0)
+            x = x.mean(axis=1)
         return x

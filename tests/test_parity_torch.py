@@ -55,6 +55,7 @@ def test_gat_layer_parity():
                                     adj_dtype=_jnp.float32)
     params = {"params": {"w": jnp.asarray(w), "a_src_dst": jnp.asarray(a)}}
     got = np.asarray(layer.apply(params, jnp.asarray(x), g))
+    got = got.transpose(1, 0, 2)   # layer returns (N, H, F)
     np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-5)
 
 
