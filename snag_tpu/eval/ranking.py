@@ -93,10 +93,28 @@ FULL_MATRIX_MAX = 25000
 
 
 @partial(jax.jit, static_argnames=("k",))
-def _knn_means(emb_q, emb_c, k: int):
+def _knn_means_chunk(emb_q, emb_c, k: int):
     """Mean similarity of each query's top-k neighbours (CSLS r terms)."""
     sim = 1 - pairwise_distances(emb_q, emb_c)
     return jnp.mean(jax.lax.top_k(sim, k)[0], axis=1)
+
+
+def _knn_means(emb_q, emb_c, k: int, chunk: int = 4096):
+    """CSLS neighbourhood means, computed in query chunks so the transient
+    similarity block is (chunk, N_c) — never the full (N_q, N_c) matrix
+    (which at 70K pairs would be ~19.6 GB f32, over the v5e HBM budget)."""
+    n = emb_q.shape[0]
+    if n <= chunk:
+        return _knn_means_chunk(emb_q, emb_c, k)
+    out = []
+    for i in range(0, n, chunk):
+        j = min(i + chunk, n)
+        q = emb_q[i:j]
+        if j - i < chunk:   # pad to keep one compiled shape
+            q = jnp.concatenate(
+                [q, jnp.zeros((chunk - (j - i), q.shape[1]), q.dtype)])
+        out.append(np.asarray(_knn_means_chunk(q, emb_c, k))[:j - i])
+    return jnp.concatenate([jnp.asarray(o) for o in out])
 
 
 @partial(jax.jit, static_argnames=("use_csls",))
