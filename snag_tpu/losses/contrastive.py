@@ -52,9 +52,12 @@ def icl_loss(
     neg_l: Optional[jnp.ndarray] = None,
     neg_r: Optional[jnp.ndarray] = None,
     neg_valid: Optional[jnp.ndarray] = None,
+    neg_valid_r: Optional[jnp.ndarray] = None,
     norm: bool = True,
     with_replay_mining: bool = False,
     matmul_dtype=None,
+    inversion: bool = False,
+    neg_cross_kg: bool = False,
 ):
     """Intra-modal NT-Xent over a link batch (SNAG_loss.py:58-128).
 
@@ -62,7 +65,15 @@ def icl_loss(
     labels are the diagonal of the ab block.  Returns the scalar loss, or
     (loss, l_neg_idx, r_neg_idx) when ``with_replay_mining`` (the MEAformer
     hardest-in-batch negative miner, MEAformer_loss.py:40-68).
+
+    ``inversion`` swaps the intra block to the *opposite* KG —
+    [ab | bb] / [ba | aa] — and, as in the reference branch, drops the
+    replay-negative blocks (SNAG_loss.py:115-121).  ``neg_cross_kg`` is
+    accepted for contract parity but inert: the reference stores it and
+    never reads it (its only use is a commented-out branch,
+    MEAformer_loss.py:50).
     """
+    del neg_cross_kg  # reference dead flag (see docstring)
     if norm:
         emb = l2norm(emb)
     zis = emb[links[:, 0]]
@@ -99,17 +110,22 @@ def icl_loss(
         logits_aa = logits_aa + colmask
         logits_bb = logits_bb + colmask
 
-    blocks_a = [logits_ab, logits_aa]
-    blocks_b = [logits_ba, logits_bb]
-    if neg_l is not None:
+    if inversion:
+        blocks_a = [logits_ab, logits_bb]
+        blocks_b = [logits_ba, logits_aa]
+    else:
+        blocks_a = [logits_ab, logits_aa]
+        blocks_b = [logits_ba, logits_bb]
+    if neg_l is not None and not inversion:
         zins = emb[neg_l].astype(zis.dtype)
         zjns = emb[neg_r].astype(zjs.dtype)
         logits_ana = sim(zis, zins)
         logits_bnb = sim(zjs, zjns)
         if neg_valid is not None:
-            negmask = jnp.where(neg_valid[None, :], 0.0, -LARGE_NUM)
-            logits_ana = logits_ana + negmask
-            logits_bnb = logits_bnb + negmask
+            nvr = neg_valid if neg_valid_r is None else neg_valid_r
+            logits_ana = logits_ana + jnp.where(neg_valid[None, :], 0.0,
+                                                -LARGE_NUM)
+            logits_bnb = logits_bnb + jnp.where(nvr[None, :], 0.0, -LARGE_NUM)
         blocks_a.append(logits_ana)
         blocks_b.append(logits_bnb)
 
@@ -207,12 +223,14 @@ def ial_loss(
     reduction: str = "mean",
     valid: Optional[jnp.ndarray] = None,
     norm: bool = True,
+    inversion: bool = False,
 ) -> jnp.ndarray:
     """Unimodal->joint KL alignment (SNAG_loss.py:130-202).
 
     KL(softmax(q/tau) || softmax(p/tau)) elementwise, q detached, torch
     `kl_div(log_softmax(p), softmax(q))` convention with mean/sum reduction
-    over all matrix elements.
+    over all matrix elements.  ``inversion`` concatenates the opposite KG's
+    intra block ([ab | bb] / [ba | aa], SNAG_loss.py:179-188).
     """
     if norm:
         src_emb = l2norm(src_emb)
@@ -223,8 +241,10 @@ def ial_loss(
     eye = jnp.eye(b, dtype=src_emb.dtype)
 
     def blocks(x, y):
+        # intra block from y when inversion (the opposite side), else from x
+        intra = y if inversion else x
         ab = x @ y.T / tau
-        aa = x @ x.T / tau - eye * LARGE_NUM
+        aa = intra @ intra.T / tau - eye * LARGE_NUM
         if valid is not None:
             colmask = jnp.where(valid[None, :], 0.0, -LARGE_NUM)
             ab = ab + colmask

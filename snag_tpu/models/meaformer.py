@@ -104,21 +104,25 @@ class MEAformer(nn.Module):
                  deterministic: bool = False,
                  replay_neg_l: Optional[jnp.ndarray] = None,
                  replay_neg_r: Optional[jnp.ndarray] = None,
-                 replay_neg_valid: Optional[jnp.ndarray] = None):
+                 replay_neg_valid: Optional[jnp.ndarray] = None,
+                 replay_neg_valid_r: Optional[jnp.ndarray] = None):
         cfg = self.cfg
         enc = self.multimodal_encoder(feats, graph, entity_noise_key,
                                       deterministic=deterministic)
         hid = self.generate_hidden_emb(enc.hidden)
 
+        nck = bool(cfg.neg_cross_kg)   # inert, as in reference MEAformer.py:51
         if cfg.replay:
             loss_joi, l_neg, r_neg = icl_loss(
                 enc.joint, links, tau=cfg.tau, ab_weight=cfg.ab_weight,
                 valid=valid, neg_l=replay_neg_l, neg_r=replay_neg_r,
-                neg_valid=replay_neg_valid, with_replay_mining=True)
+                neg_valid=replay_neg_valid, neg_valid_r=replay_neg_valid_r,
+                with_replay_mining=True, neg_cross_kg=nck)
         else:
             loss_joi = icl_loss(enc.joint, links, tau=cfg.tau,
                                 ab_weight=cfg.ab_weight, valid=valid,
-                                matmul_dtype=self._matmul_dtype())
+                                matmul_dtype=self._matmul_dtype(),
+                                neg_cross_kg=nck)
             l_neg = r_neg = None
 
         modal = {"gph": enc.gph, "rel": enc.rel, "att": enc.att,

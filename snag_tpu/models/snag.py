@@ -149,11 +149,14 @@ class SNAG(nn.Module):
         gph_h, rel_h, att_h, img_h, name_h, char_h = hid
 
         md = self._matmul_dtype()
+        # neg_cross_kg reaches the joint loss as in the reference (SNAG.py:51)
+        # — and is inert there too (see icl_loss docstring)
+        nck = bool(cfg.neg_cross_kg)
         gmi = (icl_loss(enc.joint, links, tau=cfg.tau, ab_weight=cfg.ab_weight,
-                        valid=valid, matmul_dtype=md)
+                        valid=valid, matmul_dtype=md, neg_cross_kg=nck)
                + icl_loss(enc.joint_fz, links, tau=cfg.tau,
                           ab_weight=cfg.ab_weight, valid=valid,
-                          matmul_dtype=md))
+                          matmul_dtype=md, neg_cross_kg=nck))
         ecia = self.inner_view_loss(enc.gph, enc.rel, enc.att, enc.img,
                                     enc.name, enc.char, links, valid,
                                     weight_norm=enc.weight_norm)

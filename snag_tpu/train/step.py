@@ -104,6 +104,21 @@ def make_train_step(cfg: Config, model, tx,
     return step
 
 
+def replay_negative_mask(neg: jnp.ndarray, batch_ents: jnp.ndarray,
+                         valid: jnp.ndarray) -> jnp.ndarray:
+    """Fixed-shape equivalent of the reference's replay-negative filter
+    ``list(set(neg) - set(batch_ents))`` (MEAformer.py:118-124): a slot
+    survives iff its entity is mined (>= 0, from a valid row), absent from
+    the batch, and the first occurrence of that entity (set semantics)."""
+    pos = jnp.arange(neg.shape[0])
+    in_batch = jnp.any(neg[:, None] == batch_ents[None, :], axis=1)
+    # "first occurrence" counts only earlier *valid* slots, so a padded row
+    # holding the same entity cannot swallow a real one
+    earlier_equal = ((neg[:, None] == neg[None, :]) & valid[None, :]
+                     & (pos[None, :] < pos[:, None]))
+    return (neg >= 0) & valid & ~in_batch & ~jnp.any(earlier_equal, axis=1)
+
+
 def make_meaformer_replay_step(cfg: Config, model, tx,
                                stats: Optional[FeatureStats]) -> Callable:
     """MEAformer step with the replay negative strategy (MEAformer.py:102-148).
@@ -112,9 +127,14 @@ def make_meaformer_replay_step(cfg: Config, model, tx,
     negative entity per entity, or -1.  The reference stores raw logit
     column indices and replays them as entity ids; here the mined column is
     mapped to the entity it actually denotes (ab block -> paired entity,
-    aa block -> same-side entity).  Negatives already present in the batch
-    are masked out (the reference's set-difference filter, deduplication
-    aside)."""
+    aa block -> same-side entity).  The reference's
+    ``set(neg) - set(batch_ents)`` filter (MEAformer.py:118-124) is
+    reproduced exactly on fixed shapes: negatives already present in the
+    batch are masked out, and duplicate mined entities keep only their
+    first occurrence (a set holds each element once, so a repeated hardest
+    negative must contribute one logit column, not several).  Unfilled (-1)
+    slots are dropped rather than wrapping to the last entity (reference
+    quirk: -1 survives its set-difference and indexes row -1)."""
     add_noise = bool(cfg.add_noise)
 
     @functools.partial(jax.jit, donate_argnums=(0, 6))
@@ -133,12 +153,9 @@ def make_meaformer_replay_step(cfg: Config, model, tx,
         neg_r = replay_neg[links[:, 1]]
         batch_ents = jnp.concatenate([links[:, 0], links[:, 1]])
 
-        def not_in_batch(neg):
-            return ~jnp.any(neg[:, None] == batch_ents[None, :], axis=1)
-
         use = replay_ready
-        neg_l_valid = use & (neg_l >= 0) & not_in_batch(neg_l) & valid
-        neg_r_valid = use & (neg_r >= 0) & not_in_batch(neg_r) & valid
+        neg_l_valid = replay_negative_mask(neg_l, batch_ents, valid) & use
+        neg_r_valid = replay_negative_mask(neg_r, batch_ents, valid) & use
         neg_l_safe = jnp.maximum(neg_l, 0)
         neg_r_safe = jnp.maximum(neg_r, 0)
 
@@ -147,7 +164,7 @@ def make_meaformer_replay_step(cfg: Config, model, tx,
                 {"params": params}, links, valid, noised, graph,
                 entity_noise_key=entity_noise_key, deterministic=False,
                 replay_neg_l=neg_l_safe, replay_neg_r=neg_r_safe,
-                replay_neg_valid=neg_l_valid & neg_r_valid,
+                replay_neg_valid=neg_l_valid, replay_neg_valid_r=neg_r_valid,
                 rngs={"dropout": drop_key})
             return loss, aux
 

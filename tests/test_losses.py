@@ -56,6 +56,61 @@ def test_icl_weighted():
     np.testing.assert_allclose(float(got), want, rtol=2e-3)
 
 
+def naive_icl_inversion(emb, links, tau, alpha):
+    """Reference inversion branch (SNAG_loss.py:115-118): [ab|bb] / [ba|aa]."""
+    emb = emb / np.linalg.norm(emb, axis=1, keepdims=True)
+    zi, zj = emb[links[:, 0]], emb[links[:, 1]]
+    b = len(links)
+    eye = np.eye(b)
+    ab = zi @ zj.T / tau
+    aa = zi @ zi.T / tau - eye * LARGE
+    bb = zj @ zj.T / tau - eye * LARGE
+
+    def xent(logits):
+        logp = np.log(_softmax(logits, axis=1))
+        return -logp[np.arange(b), np.arange(b)].mean()
+
+    la = xent(np.concatenate([ab, bb], axis=1))
+    lb = xent(np.concatenate([ab.T, aa], axis=1))
+    return alpha * la + (1 - alpha) * lb
+
+
+def test_icl_inversion_matches_naive():
+    rng = np.random.default_rng(5)
+    emb = rng.normal(size=(50, 16)).astype(np.float32)
+    links = rng.choice(50, size=(12, 2), replace=False).astype(np.int32)
+    got = icl_loss(jnp.asarray(emb), jnp.asarray(links), tau=0.1,
+                   ab_weight=0.5, inversion=True)
+    want = naive_icl_inversion(emb, links, 0.1, 0.5)
+    np.testing.assert_allclose(float(got), want, rtol=2e-3)
+    # and it is genuinely a different objective than the default blocks
+    plain = icl_loss(jnp.asarray(emb), jnp.asarray(links), tau=0.1,
+                     ab_weight=0.5)
+    assert abs(float(got) - float(plain)) > 1e-6
+
+
+def test_icl_neg_cross_kg_inert():
+    """Reference parity: the flag is stored and never read
+    (MEAformer_loss.py:50) — passing it must not change the loss."""
+    rng = np.random.default_rng(6)
+    emb = jnp.asarray(rng.normal(size=(30, 8)).astype(np.float32))
+    links = rng.choice(30, size=(8, 2), replace=False).astype(np.int32)
+    a = icl_loss(emb, jnp.asarray(links), tau=0.1, neg_cross_kg=False)
+    b = icl_loss(emb, jnp.asarray(links), tau=0.1, neg_cross_kg=True)
+    assert float(a) == float(b)
+
+
+def test_ial_inversion_runs_and_differs():
+    rng = np.random.default_rng(7)
+    src = jnp.asarray(rng.normal(size=(40, 8)).astype(np.float32))
+    tar = jnp.asarray(rng.normal(size=(40, 8)).astype(np.float32))
+    links = rng.choice(40, size=(10, 2), replace=False).astype(np.int32)
+    a = ial_loss(src, tar, jnp.asarray(links), tau=4.0)
+    b = ial_loss(src, tar, jnp.asarray(links), tau=4.0, inversion=True)
+    assert np.isfinite(float(a)) and np.isfinite(float(b))
+    assert abs(float(a) - float(b)) > 1e-9
+
+
 def test_icl_padded_batch_equals_unpadded():
     """A capacity-padded batch with validity mask must produce the same loss
     as the raw ragged batch."""

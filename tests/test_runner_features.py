@@ -35,6 +35,29 @@ def test_checkpoint_resume_roundtrip(synth_cfg, synth_data, tmp_path):
     assert abs(l1 - l2) < 1e-4
 
 
+def test_replay_negative_mask_matches_reference_set_difference():
+    """The fixed-shape filter must keep exactly one slot per element of the
+    reference's ``set(neg) - set(batch_ents)`` (MEAformer.py:118-124)."""
+    from snag_tpu.train.step import replay_negative_mask
+
+    neg = jnp.asarray([7, 3, 7, -1, 5, 3, 9, 2])
+    batch_ents = jnp.asarray([2, 9, 11])
+    valid = jnp.asarray([True, True, True, True, True, True, True, False])
+    mask = np.asarray(replay_negative_mask(neg, batch_ents, valid))
+
+    ref = set(int(x) for x, v in zip(neg, valid) if v and int(x) >= 0)
+    ref -= set(int(x) for x in batch_ents)
+    kept = [int(n) for n, m in zip(np.asarray(neg), mask) if m]
+    assert sorted(kept) == sorted(ref)          # each element exactly once
+    assert ref == {7, 3, 5}
+
+    # a padded slot must not swallow a real entity's only occurrence
+    neg2 = jnp.asarray([4, 4])
+    valid2 = jnp.asarray([False, True])
+    mask2 = np.asarray(replay_negative_mask(neg2, jnp.asarray([1]), valid2))
+    assert list(mask2) == [False, True]
+
+
 def test_meaformer_replay_trains(synth_cfg, synth_data):
     cfg = dataclasses.replace(synth_cfg, model_name="MEAformer", replay=1,
                               add_noise=0)
