@@ -46,6 +46,7 @@ class MKGCConfig:
     use_pool: int = 1
     pool_dim: int = 256                # pooled feature width when use_pool
     triple_order: str = "hrt"          # column order in triple files: hrt | htr (OpenKE)
+    mesh_shape: str = ""               # e.g. "data:8"; empty = single device
 
     intermediate_size: int = 512
     eval_epoch: int = 50

@@ -234,6 +234,23 @@ class MKGCRunner:
         self.data = data if data is not None else load_mkgc_data(cfg, logger)
         self.feats = prepare_mkgc_features(cfg, self.data)
 
+        # SPMD: --mesh_shape data:N shards the feature tables over the
+        # entity axis and every batch over its row axis (SURVEY §2.10)
+        self.mesh = None
+        self._pos_sharding = None
+        if cfg.mesh_shape:
+            from snag_tpu.parallel import mesh as mesh_mod
+            n_dev = mesh_mod.parse_mesh_shape(cfg.mesh_shape)
+            if n_dev:
+                self.mesh = mesh_mod.make_mesh(n_dev)
+                ent2 = mesh_mod.entity_sharding(self.mesh, 2)
+                self.feats = MKGCFeatures(
+                    visual=jax.device_put(self.feats.visual, ent2),
+                    textual=jax.device_put(self.feats.textual, ent2))
+                self._pos_sharding = mesh_mod.batch_sharding(self.mesh, 2)
+                logger.info(f"SPMD mesh: {n_dev} devices on "
+                            f"'{mesh_mod.DATA_AXIS}'")
+
         self.model = MKGCModel(cfg=cfg, ent_num=self.data.ent_num,
                                rel_num=self.data.rel_num,
                                vis_dim=int(self.feats.visual.shape[1]),
@@ -258,11 +275,29 @@ class MKGCRunner:
         stats_txt = noise_ops.table_stats(self.feats.textual)
         self.train_step = make_mkgc_train_step(cfg, self.model, self.tx,
                                                stats_vis, stats_txt)
+        if self.mesh is not None:
+            from snag_tpu.parallel.mesh import replicated
+            rep = replicated(self.mesh)
+            self.state = MKGCState(
+                params=jax.device_put(self.state.params, rep),
+                opt_state=jax.device_put(self.state.opt_state, rep),
+                step=self.state.step, base_key=self.state.base_key)
+            # re-jit with explicit batch sharding; state donated at this
+            # outer level (step signature: state, pos, feats, epoch)
+            self.train_step = jax.jit(
+                self.train_step,
+                in_shardings=(None, self._pos_sharding, None, None),
+                donate_argnums=(0,))
         self._noise_fn = None
         if cfg.add_noise and cfg.noise_update != "step":
             self._noise_fn = make_mkgc_noise_fn(cfg, stats_vis, stats_txt)
 
         self.batch_size = max(1, len(self.data.train) // cfg.num_batch)
+        if self.mesh is not None:
+            # batch rows shard over the mesh; round down to a divisible size
+            n_dev = self.mesh.devices.size
+            self.batch_size = max(n_dev, (self.batch_size // n_dev) * n_dev)
+            logger.info(f"mesh batch_size: {self.batch_size}")
         self._score_fns = make_score_fn(self.model)
         self.best_mrr = 0.0
         self.best_params = None
@@ -280,6 +315,8 @@ class MKGCRunner:
         losses = []
         for i in range(0, n_full, b):
             pos = jnp.asarray(data[i:i + b].astype(np.int32))
+            if self._pos_sharding is not None:
+                pos = jax.device_put(pos, self._pos_sharding)
             self.state, loss, _ = self.train_step(self.state, pos, feats_epoch,
                                                   jnp.asarray(epoch))
             losses.append(loss)

@@ -49,6 +49,21 @@ def is_main_process() -> bool:
     return jax.process_index() == 0
 
 
+def parse_mesh_shape(spec: str) -> int:
+    """``--mesh_shape`` parser: "data:8" or "8" -> 8 devices on the data
+    axis.  Empty/zero means single-device (no mesh)."""
+    spec = (spec or "").strip()
+    if not spec:
+        return 0
+    if ":" in spec:
+        axis, _, n = spec.partition(":")
+        if axis != DATA_AXIS:
+            raise ValueError(f"unknown mesh axis {axis!r}; this workload "
+                             f"shards over {DATA_AXIS!r} only (SURVEY §2.10)")
+        spec = n
+    return int(spec)
+
+
 def make_mesh(n_devices: Optional[int] = None, axis: str = DATA_AXIS) -> Mesh:
     devices = jax.devices()
     if n_devices is not None:
@@ -89,16 +104,19 @@ def shard_kg_arrays(mesh: Mesh, feats, graph):
     return feats, graph
 
 
-def make_sharded_train_step(step_fn, mesh: Mesh):
+def make_sharded_train_step(step_fn, mesh: Mesh, n_extra: int = 0):
     """Wrap a jitted step so batches are row-sharded over the mesh.
 
     ``step_fn`` comes from train/step.py; we re-jit with explicit input
     shardings for the batch operands and let GSPMD propagate everything
-    else from the placement of params/features."""
+    else from the placement of params/features.  ``n_extra`` covers the
+    trailing model-specific operands (MSNEA's triple bank, MEAformer's
+    replay buffer) which keep their own placement.  The state arg is
+    donated at this outer level (nested-jit donation does not propagate)."""
     in_shardings = (
         None,                      # state: keep current placement
         batch_sharding(mesh, 2),   # links
         batch_sharding(mesh, 1),   # valid
         None, None, None,          # feats, graph, epoch
-    )
-    return jax.jit(step_fn, in_shardings=in_shardings)
+    ) + (None,) * n_extra
+    return jax.jit(step_fn, in_shardings=in_shardings, donate_argnums=(0,))

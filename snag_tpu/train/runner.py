@@ -69,6 +69,36 @@ class Runner:
         self.graph = self.data.graph
         self.model = build_model(cfg, self.data)
 
+        # SPMD: --mesh_shape data:N shards the entity/edge axes of the KG
+        # arrays and the batch axis of every step over an N-device mesh
+        # (§2.10 items 1-4; replaces the reference's dead NCCL helper)
+        self.mesh = None
+        self._batch_shardings = None
+        if cfg.mesh_shape:
+            from snag_tpu.parallel import mesh as mesh_mod
+            n_dev = mesh_mod.parse_mesh_shape(cfg.mesh_shape)
+            if n_dev:
+                if n_dev > len(jax.devices()):
+                    raise ValueError(
+                        f"--mesh_shape wants {n_dev} devices, have "
+                        f"{len(jax.devices())}")
+                self.mesh = mesh_mod.make_mesh(n_dev)
+                self.feats, self.graph = mesh_mod.shard_kg_arrays(
+                    self.mesh, self.feats, self.graph)
+                self._batch_shardings = (
+                    mesh_mod.batch_sharding(self.mesh, 2),
+                    mesh_mod.batch_sharding(self.mesh, 1))
+                if cfg.batch_size % n_dev:
+                    # batches are capacity-padded with a validity mask, so
+                    # rounding the capacity up is loss-exact
+                    import dataclasses as _dc
+                    new_b = -(-cfg.batch_size // n_dev) * n_dev
+                    cfg = _dc.replace(cfg, batch_size=new_b)
+                    self.cfg = cfg
+                    self.logger.info(f"mesh batch capacity: {new_b}")
+                self.logger.info(
+                    f"SPMD mesh: {n_dev} devices on '{mesh_mod.DATA_AXIS}'")
+
         self.bank = None
         extra_init = None
         if cfg.model_name == "MSNEA":
@@ -175,6 +205,22 @@ class Runner:
             from snag_tpu.train.step import make_noise_fn
             self._noise_fn = make_noise_fn(cfg, self.stats)
 
+        if self.mesh is not None:
+            from snag_tpu.parallel.mesh import (make_sharded_train_step,
+                                                replicated)
+            rep = replicated(self.mesh)
+            self.state = TrainState(
+                params=jax.device_put(self.state.params, rep),
+                opt_state=jax.device_put(self.state.opt_state, rep),
+                step=self.state.step, base_key=self.state.base_key)
+            n_extra = 1 if (cfg.model_name == "MSNEA"
+                            or (cfg.model_name == "MEAformer" and cfg.replay)
+                            ) else 0
+            if cfg.model_name == "MEAformer" and cfg.replay:
+                n_extra = 2   # replay buffer + ready flag
+            self.train_step = make_sharded_train_step(self.train_step,
+                                                      self.mesh, n_extra)
+
     def _batches(self):
         """Shuffled, capacity-padded batches (DataLoader equivalent)."""
         b = self.cfg.batch_size
@@ -188,7 +234,12 @@ class Runner:
                 chunk = np.vstack([chunk, pad])
             valid = np.zeros((b,), dtype=bool)
             valid[:n] = True
-            yield jnp.asarray(chunk.astype(np.int64)), jnp.asarray(valid)
+            links_d = jnp.asarray(chunk.astype(np.int64))
+            valid_d = jnp.asarray(valid)
+            if self._batch_shardings is not None:
+                links_d = jax.device_put(links_d, self._batch_shardings[0])
+                valid_d = jax.device_put(valid_d, self._batch_shardings[1])
+            yield links_d, valid_d
 
     # ------------------------------------------------------------------
     def train_epoch(self) -> float:

@@ -1,0 +1,74 @@
+"""--mesh_shape as a production feature: the Runner/MKGCRunner built with a
+mesh must train to the same losses as their single-device builds (VERDICT r1
+item 5 — §2.10 items 1-4 wired into the framework path, not just tests)."""
+
+import dataclasses
+
+import numpy as np
+import pytest
+
+from snag_tpu.train.runner import Runner
+from snag_tpu.utils.logging import create_logger
+
+
+def test_runner_mesh_matches_single_device(synth_cfg, synth_data):
+    cfg1 = dataclasses.replace(synth_cfg, add_noise=0, dropout=0.0)
+    cfg8 = dataclasses.replace(cfg1, mesh_shape="data:8")
+
+    r1 = Runner(cfg1, create_logger(name="m1"), data=synth_data)
+    r8 = Runner(cfg8, create_logger(name="m8"), data=synth_data)
+    assert r8.mesh is not None
+
+    for e in range(2):
+        r1.epoch = r8.epoch = e
+        np.random.seed(e)
+        l1 = r1.train_epoch()
+        np.random.seed(e)
+        l8 = r8.train_epoch()
+        assert abs(l1 - l8) / max(abs(l1), 1e-9) < 5e-3, (e, l1, l8)
+
+    # eval path runs over sharded features too
+    res = r8.evaluate()
+    assert 0.0 <= res.mrr_l2r <= 1.0
+
+
+def test_runner_mesh_shape_validation(synth_cfg, synth_data):
+    from snag_tpu.parallel.mesh import parse_mesh_shape
+    assert parse_mesh_shape("data:8") == 8
+    assert parse_mesh_shape("8") == 8
+    assert parse_mesh_shape("") == 0
+    with pytest.raises(ValueError):
+        parse_mesh_shape("model:4")
+
+
+def test_mkgc_runner_mesh_matches_single_device():
+    from snag_tpu.mkgc.config import MKGCConfig
+    from snag_tpu.mkgc.data import load_mkgc_data
+    from snag_tpu.mkgc.train import MKGCRunner
+
+    base = dict(data_choice="SYNTH", emb_dim=32, num_batch=8, neg_num=8,
+                margin=1.0, lr=5e-3, lrg=5e-3, epoch=2, eval_epoch=100,
+                add_noise=0, use_pool=1, pool_dim=32, num_hidden_layers=1,
+                num_attention_heads=2, synth_ents=80, synth_rels=8,
+                synth_triples=600, random_seed=7, log_every=1000,
+                joint_way="Mformer_hd_mean")
+    cfg1 = MKGCConfig(**base)
+    cfg8 = MKGCConfig(**base, mesh_shape="data:8")
+    data = load_mkgc_data(cfg1)
+
+    r1 = MKGCRunner(cfg1, create_logger(name="k1"), data=data)
+    r8 = MKGCRunner(cfg8, create_logger(name="k8"), data=data)
+    assert r8.mesh is not None
+    # the mesh build rounds batch_size down to a divisible size; give the
+    # single-device build the same batching so the comparison is exact
+    r1.batch_size = r8.batch_size
+
+    for e in range(2):
+        np.random.seed(e)
+        l1 = r1.train_epoch(e)
+        np.random.seed(e)
+        l8 = r8.train_epoch(e)
+        assert abs(l1 - l8) / max(abs(l1), 1e-9) < 5e-3, (e, l1, l8)
+
+    m = r8.evaluate("valid")
+    assert 0.0 <= m["mrr"] <= 1.0
