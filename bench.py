@@ -5,10 +5,11 @@ Measures the SNAG MMEA hot path at DBP15K scale on a synthetic KG
 run_snag.sh geometry): jitted full-graph train-step throughput, plus
 full-rank eval latency as a secondary field.
 
-vs_baseline: ratio vs. the PyTorch reference's epoch time on the same
-geometry.  The reference repo ships no numbers (BASELINE.md); until a GPU
-baseline is minted we report the ratio against a recorded reference-epoch
-estimate of 1.0 (parity placeholder).
+vs_baseline: measured epoch-time ratio vs. the PyTorch reference executed
+on THIS machine's CPU at the identical geometry (scripts/run_reference_cpu.py
+on the dataset exported by snag_tpu/data/export_reference.py — see
+BASELINE.md "Measured" section).  No reference GPU exists here; BASELINE.md
+also records the literature-scale GPU estimate for context.
 """
 
 from __future__ import annotations
@@ -21,6 +22,15 @@ import time
 import jax
 import jax.numpy as jnp
 import numpy as np
+
+# Minted on 2026-08-16: reference SNAG, 30K ents / 150K triples / batch 3500,
+# torch-2.13 CPU via scripts/run_reference_cpu.py — steady-state epochs
+# 252/235/246 s (BASELINE.md).  Metric-parity anchor on the same files:
+# reference MRR 0.997 vs snag_tpu 0.996 (2K-entity export, seed 3408).
+REFERENCE_CPU_EPOCH_MS = 245_000.0
+# single-GPU torch implementations of this family report ~1-2 s/epoch on
+# DBP15K-class data (BASELINE.md context); kept as a reference point only
+REFERENCE_GPU_EPOCH_MS_EST = 1_500.0
 
 
 def main():
@@ -120,11 +130,15 @@ def main():
         "metric": "snag_mmea_train_steps_per_sec_dbp15k_scale",
         "value": round(steps_per_sec, 3),
         "unit": "steps/s",
-        "vs_baseline": round(steps_per_sec / 1.0, 3),
+        "vs_baseline": round(REFERENCE_CPU_EPOCH_MS / epoch_ms, 1),
         "extra": {
             "step_ms": round(1000 / steps_per_sec, 2),
             "epoch_ms": round(epoch_ms, 2),
             "full_rank_eval_ms": round(eval_ms, 2),
+            "vs_baseline_denominator": "torch-CPU reference epoch, measured"
+                                       " (BASELINE.md); no reference GPU in"
+                                       " this environment",
+            "vs_est_gpu_epoch": round(REFERENCE_GPU_EPOCH_MS_EST / epoch_ms, 2),
             "n_entities": cfg.synth_ents,
             "batch_size": b,
             "dtype": cfg.dtype,

@@ -174,7 +174,14 @@ def _load_files(cfg: Config, logger) -> KGData:
         test_ill_ = ills_shuffled
         test_ill = np.asarray(test_ill_, dtype=np.int32)
     else:
-        train_ill, test_ill, test_ill_ = _split_ills(ills, cfg.data_rate, rng)
+        # reference split semantics for on-disk datasets: the legacy global
+        # np RNG is seeded at runner start and its FIRST consumption is this
+        # shuffle (main.py:41 -> src/data.py:153), so the same seed yields
+        # the reference's exact train/test split — metric parity depends on
+        # evaluating identical splits
+        legacy = np.random.RandomState(cfg.random_seed)
+        train_ill, test_ill, test_ill_ = _split_ills(ills, cfg.data_rate,
+                                                     legacy)
 
     rel = F.build_relation_features(n_ent, triples, 1000)
     att_files = [osp.join(file_dir, "training_attrs_1"),

@@ -1,0 +1,93 @@
+"""Export the synthetic KG in the reference's on-disk dataset format.
+
+Produces a directory tree the PyTorch reference can consume directly
+(SNAG_MMEA/src/data.py:135-272 read path):
+
+    <dest>/<data_choice>/<data_split>/ent_ids_1        "id \t name"
+                                      ent_ids_2
+                                      ill_ent_ids      "id1 \t id2"
+                                      triples_1        "h \t r \t t"
+                                      triples_2
+                                      training_attrs_1 "name \t attr ..."
+                                      training_attrs_2
+    <dest>/pkls/<data_split>_GA_id_img_feature_dict.pkl   {id: np.float32[d]}
+
+This is the bridge for minting real reference baselines (BASELINE.md) and
+for end-to-end metric-parity tests: both frameworks train on the identical
+files.  Formats follow read_raw_data (src/data.py:406-457), load_attr
+(src/data.py:489-519) and load_img (src/data.py:551-581).
+"""
+
+from __future__ import annotations
+
+import os
+import os.path as osp
+import pickle
+
+import numpy as np
+
+from snag_tpu.data.synthetic import generate_synthetic_kg
+
+
+def ent_name(i: int) -> str:
+    return f"ent_{i}"
+
+
+def export_reference_format(dest: str,
+                            data_choice: str = "DBP15K",
+                            data_split: str = "ja_en",
+                            n_ents: int = 2000,
+                            n_rels: int = 40,
+                            n_triples: int = 8000,
+                            img_dim: int = 256,
+                            seed: int = 0) -> str:
+    """Write the synthetic KG under ``dest``; returns the split directory."""
+    ills, triples, img_dict, ent_attrs, left, right, kg1, kg2 = (
+        generate_synthetic_kg(n_ents=n_ents, n_rels=n_rels,
+                              n_triples=n_triples, img_dim=img_dim,
+                              seed=seed))
+    split_dir = osp.join(dest, data_choice, data_split)
+    os.makedirs(split_dir, exist_ok=True)
+    os.makedirs(osp.join(dest, "pkls"), exist_ok=True)
+
+    def write_rows(name, rows):
+        with open(osp.join(split_dir, name), "w", encoding="utf-8") as f:
+            for row in rows:
+                f.write("\t".join(str(x) for x in row) + "\n")
+
+    write_rows("ent_ids_1", [(i, ent_name(i)) for i in left])
+    write_rows("ent_ids_2", [(i, ent_name(i)) for i in right])
+    write_rows("ill_ent_ids", ills)
+    write_rows("triples_1", kg1)
+    write_rows("triples_2", kg2)
+
+    left_set, right_set = set(left), set(right)
+    for name, side in (("training_attrs_1", left_set),
+                       ("training_attrs_2", right_set)):
+        with open(osp.join(split_dir, name), "w", encoding="utf-8") as f:
+            for ent, attrs in sorted(ent_attrs.items()):
+                if ent in side and attrs:
+                    f.write("\t".join([ent_name(ent)] + list(attrs)) + "\n")
+
+    pkl_path = osp.join(dest, "pkls",
+                        f"{data_split}_GA_id_img_feature_dict.pkl")
+    with open(pkl_path, "wb") as f:
+        pickle.dump({int(k): np.asarray(v, dtype=np.float32)
+                     for k, v in img_dict.items()}, f)
+    return split_dir
+
+
+if __name__ == "__main__":
+    import argparse
+    p = argparse.ArgumentParser()
+    p.add_argument("--dest", default="/tmp/snag_ref_data")
+    p.add_argument("--n_ents", type=int, default=2000)
+    p.add_argument("--n_rels", type=int, default=40)
+    p.add_argument("--n_triples", type=int, default=8000)
+    p.add_argument("--img_dim", type=int, default=256)
+    p.add_argument("--seed", type=int, default=0)
+    a = p.parse_args()
+    d = export_reference_format(a.dest, n_ents=a.n_ents, n_rels=a.n_rels,
+                                n_triples=a.n_triples, img_dim=a.img_dim,
+                                seed=a.seed)
+    print(f"exported to {d}")
