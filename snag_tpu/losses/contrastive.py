@@ -16,14 +16,138 @@ References:
 
 from __future__ import annotations
 
+import functools
 from typing import Optional, Tuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from snag_tpu.ops.fusion import l2norm
 
 LARGE_NUM = 1e9
+
+
+# ---------------------------------------------------------------------------
+# Streaming batched NT-Xent core.
+#
+# The autodiff formulation materializes the concatenated (M, B, 2B) logits
+# (and keeps them as residuals), which XLA stages through chunked while
+# loops at ~40 ms/step at DBP15K scale.  This custom-VJP computes the same
+# value from the three similarity blocks with a block-wise logsumexp and
+# REBUILDS the similarity in the backward pass (one extra batched einsum,
+# MXU-cheap) — so the only residuals are the (M, B) row statistics.
+# ---------------------------------------------------------------------------
+
+def _icl_blocks(zis, zjs, tau, valid):
+    b = zis.shape[1]
+    z = jnp.concatenate([zis, zjs], axis=1)                     # (M, 2B, d)
+    big = jnp.einsum("mbd,mcd->mbc", z, z,
+                     preferred_element_type=jnp.float32) / tau
+    eye = jnp.eye(b, dtype=jnp.float32)
+    ab = big[:, :b, b:]
+    aa = big[:, :b, :b] - eye * LARGE_NUM
+    bb = big[:, b:, b:] - eye * LARGE_NUM
+    if valid is not None:
+        colmask = jnp.where(valid[None, None, :], 0.0, -LARGE_NUM)
+        ab = ab + colmask
+        aa = aa + colmask
+        bb = bb + colmask
+    return ab, aa, bb
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5))
+def _icl_xent_batched(zis, zjs, w_min, valid, tau, ab_weight):
+    """(M,) NT-Xent losses over M modality batches; see module comment."""
+    return _icl_xb_fwd(zis, zjs, w_min, valid, tau, ab_weight)[0]
+
+
+def _per_row(zis, zjs, tau, valid):
+    """Row losses (lse - diag) for both directions, transpose-free: the
+    b-side reads ab COLUMN-wise (axis-1 reduces) instead of materializing
+    ab^T — the (M, 2B, 2B) similarity transpose copy cost ~2.4 ms/step."""
+    ab, aa, bb = _icl_blocks(zis, zjs, tau, valid)
+    b = ab.shape[1]
+    diag = ab[:, jnp.arange(b), jnp.arange(b)]
+
+    m_a = jnp.maximum(ab.max(axis=2), aa.max(axis=2))           # (M, B)
+    s_a = (jnp.exp(ab - m_a[:, :, None]).sum(axis=2)
+           + jnp.exp(aa - m_a[:, :, None]).sum(axis=2))
+    lse_a = jnp.log(s_a) + m_a
+
+    m_b = jnp.maximum(ab.max(axis=1), bb.max(axis=2))           # (M, B)
+    s_b = (jnp.exp(ab - m_b[:, None, :]).sum(axis=1)
+           + jnp.exp(bb - m_b[:, :, None]).sum(axis=2))
+    lse_b = jnp.log(s_b) + m_b
+    return (lse_a - diag), (lse_b - diag)                       # (M, B) each
+
+
+def _icl_xb_fwd(zis, zjs, w_min, valid, tau, ab_weight):
+    per_a, per_b = _per_row(zis, zjs, tau, valid)
+    if valid is not None:
+        vf = valid.astype(jnp.float32)
+        denom = jnp.maximum(vf.sum(), 1.0)
+    else:
+        vf = jnp.ones((zis.shape[1],), jnp.float32)
+        denom = jnp.float32(zis.shape[1])
+    w = vf[None, :] if w_min is None else w_min * vf[None, :]
+    loss = (ab_weight * (per_a * w).sum(axis=1)
+            + (1 - ab_weight) * (per_b * w).sum(axis=1)) / denom
+    return loss, (zis, zjs, w_min, valid, per_a, per_b, vf, denom)
+
+
+def _icl_xb_bwd(tau, ab_weight, res, g):
+    zis, zjs, w_min, valid, per_a, per_b, vf, denom = res
+    m, b, _ = zis.shape
+    ab, aa, bb = _icl_blocks(zis, zjs, tau, valid)   # recomputed, not stored
+    diag = ab[:, jnp.arange(b), jnp.arange(b)]
+    lse_a = per_a + diag
+    lse_b = per_b + diag
+
+    w = vf[None, :] if w_min is None else w_min * vf[None, :]
+    ca = (g[:, None] * ab_weight) * w / denom                    # (M, B)
+    cb = (g[:, None] * (1 - ab_weight)) * w / denom
+
+    eye = jnp.eye(b, dtype=jnp.float32)
+    # softmax over the virtual concat, per block; the b-direction reads ab
+    # column-wise so no (M, B, B) transposes are materialized
+    p_row = jnp.exp(ab - lse_a[:, :, None])                      # a-side rows
+    p_col = jnp.exp(ab - lse_b[:, None, :])                      # b-side cols
+    p_aa = jnp.exp(aa - lse_a[:, :, None])
+    p_bb = jnp.exp(bb - lse_b[:, :, None])
+
+    # combined gradient wrt the single stored ab block:
+    # a-side rows contribute ca_i (p_row - I); b-side columns cb_j (p_col - I)
+    g_ab = (ca[:, :, None] * (p_row - eye)
+            + cb[:, None, :] * (p_col - eye))                    # (M, B, B)
+    g_aa = ca[:, :, None] * p_aa
+    g_bb = cb[:, :, None] * p_bb
+
+    md = zis.dtype
+    def bmm(spec, a, x):
+        return jnp.einsum(spec, a.astype(md), x,
+                          preferred_element_type=jnp.float32)
+
+    # symmetric intra terms and the ab^T contraction are expressed through
+    # einsum index order — XLA contracts without explicit transpose copies
+    d_zis = (bmm("mbc,mcd->mbd", g_ab, zjs)
+             + bmm("mbc,mcd->mbd", g_aa, zis)
+             + bmm("mcb,mcd->mbd", g_aa, zis)) / tau
+    d_zjs = (bmm("mcb,mcd->mbd", g_ab, zis)
+             + bmm("mbc,mcd->mbd", g_bb, zjs)
+             + bmm("mcb,mcd->mbd", g_bb, zjs)) / tau
+
+    if w_min is None:
+        d_w = None
+    else:
+        base = (ab_weight * per_a + (1 - ab_weight) * per_b) * vf[None, :]
+        d_w = g[:, None] * base / denom
+    d_valid = (None if valid is None
+               else np.zeros(valid.shape, dtype=jax.dtypes.float0))
+    return (d_zis.astype(zis.dtype), d_zjs.astype(zjs.dtype), d_w, d_valid)
+
+
+_icl_xent_batched.defvjp(_icl_xb_fwd, _icl_xb_bwd)
 
 
 def _masked_mean_xent(logits: jnp.ndarray, valid: Optional[jnp.ndarray],
@@ -173,44 +297,32 @@ def icl_loss_multi(
     embs: (M, N, d) already L2-normalized rows; w_min: (M, B) per-row
     weights or None.  Returns (M,) losses.
     """
-    m = embs.shape[0]
     zis = embs[:, links[:, 0], :]     # (M, B, d)
     zjs = embs[:, links[:, 1], :]
     if matmul_dtype is not None:
         zis = zis.astype(matmul_dtype)
         zjs = zjs.astype(matmul_dtype)
-    b = zis.shape[1]
-    eye = jnp.eye(b, dtype=jnp.float32)
+    return _icl_xent_batched(zis, zjs, w_min, valid, tau, ab_weight)
 
-    # one batched (M, 2B, 2B) einsum yields all three similarity blocks
-    z = jnp.concatenate([zis, zjs], axis=1)           # (M, 2B, d)
-    big = jnp.einsum("mbd,mcd->mbc", z, z,
-                     preferred_element_type=jnp.float32) / tau
-    ab = big[:, :b, b:]
-    aa = big[:, :b, :b] - eye * LARGE_NUM
-    bb = big[:, b:, b:] - eye * LARGE_NUM
 
-    if valid is not None:
-        colmask = jnp.where(valid[None, None, :], 0.0, -LARGE_NUM)
-        ab = ab + colmask
-        aa = aa + colmask
-        bb = bb + colmask
-
-    logits_a = jnp.concatenate([ab, aa], axis=2)              # (M, B, 2B)
-    logits_b = jnp.concatenate([ab.transpose(0, 2, 1), bb], axis=2)
-
-    def xent(logits):
-        logprobs = jax.nn.log_softmax(logits, axis=2)
-        diag = logprobs[:, jnp.arange(b), jnp.arange(b)]      # (M, B)
-        per = -diag
-        if w_min is not None:
-            per = per * w_min
-        if valid is None:
-            return per.mean(axis=1)
-        per = jnp.where(valid[None, :], per, 0.0)
-        return per.sum(axis=1) / jnp.maximum(valid.sum(), 1)
-
-    return ab_weight * xent(logits_a) + (1 - ab_weight) * xent(logits_b)
+def icl_loss_stacked(
+    emb_list,
+    links: jnp.ndarray,
+    tau: float = 0.1,
+    ab_weight: float = 0.5,
+    valid: Optional[jnp.ndarray] = None,
+    matmul_dtype=None,
+) -> jnp.ndarray:
+    """Sum of independent ICL losses over several embedding tables, batched
+    through the streaming core (one (M, 2B, 2B) einsum instead of M separate
+    matmul/softmax chains).  Used for SNAG's GMI = icl(joint) +
+    icl(joint_fz) (SNAG.py:106)."""
+    zis = jnp.stack([l2norm(e[links[:, 0]]) for e in emb_list])
+    zjs = jnp.stack([l2norm(e[links[:, 1]]) for e in emb_list])
+    if matmul_dtype is not None:
+        zis = zis.astype(matmul_dtype)
+        zjs = zjs.astype(matmul_dtype)
+    return _icl_xent_batched(zis, zjs, None, valid, tau, ab_weight).sum()
 
 
 def ial_loss(

@@ -150,13 +150,12 @@ class SNAG(nn.Module):
 
         md = self._matmul_dtype()
         # neg_cross_kg reaches the joint loss as in the reference (SNAG.py:51)
-        # — and is inert there too (see icl_loss docstring)
-        nck = bool(cfg.neg_cross_kg)
-        gmi = (icl_loss(enc.joint, links, tau=cfg.tau, ab_weight=cfg.ab_weight,
-                        valid=valid, matmul_dtype=md, neg_cross_kg=nck)
-               + icl_loss(enc.joint_fz, links, tau=cfg.tau,
-                          ab_weight=cfg.ab_weight, valid=valid,
-                          matmul_dtype=md, neg_cross_kg=nck))
+        # — and is inert there too (see icl_loss docstring).  The two joint
+        # ICLs batch through one streaming (2, 2B, 2B) einsum.
+        from snag_tpu.losses.contrastive import icl_loss_stacked
+        gmi = icl_loss_stacked((enc.joint, enc.joint_fz), links, tau=cfg.tau,
+                               ab_weight=cfg.ab_weight, valid=valid,
+                               matmul_dtype=md)
         ecia = self.inner_view_loss(enc.gph, enc.rel, enc.att, enc.img,
                                     enc.name, enc.char, links, valid,
                                     weight_norm=enc.weight_norm)

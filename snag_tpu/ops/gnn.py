@@ -13,6 +13,7 @@ the implementation is TPU-native:
 
 from __future__ import annotations
 
+import functools
 from typing import List, Optional
 
 import flax.linen as nn
@@ -92,44 +93,81 @@ class MultiHeadGraphAttention(nn.Module):
         row, col, mask = graph.row, graph.col, graph.mask
         n = graph.n_nodes
 
-        # node features live in (N, H, F) layout end-to-end on the hot path:
-        # profiling showed the (H, N, F) <-> (E, H*F) transposes around the
-        # gathers cost several ms each at DBP15K scale
         if self.diag:
             w = self.param("w", jax.nn.initializers.ones, (H, 1, F))
-            h_nhf = (x[:, None, :].astype(self.dtype)
-                     * w[:, 0, :][None, :, :].astype(self.dtype))  # (N, H, F)
             stdv = 1.0 / np.sqrt(2 * F)
             a = self.param("a_src_dst", inits.uniform_stdv(stdv), (H, 2 * F, 1))
         else:
             w = self.param("w", inits.xavier_uniform(), (H, self.f_in, F))
+            a = self.param("a_src_dst", inits.xavier_uniform(), (H, 2 * F, 1))
+        a_src = a[:, :F, 0].astype(jnp.float32)   # (H, F)
+        a_dst = a[:, F:, 0].astype(jnp.float32)
+
+        use_dropout = self.attn_dropout > 0 and not deterministic
+        if self.diag and not use_dropout:
+            # scatter-free hot path.  Everything stays FLAT 2D (N/E, H*F)
+            # with per-head column slices — edge-level (E, H, F) reshapes
+            # forced multi-ms relayout copies (profiled), and narrow (E, H)
+            # gathers/reduces are latency-bound at ~4 ms each, so the
+            # attention scores/mass piggyback on the wide feature arrays:
+            #  * ONE col-gather moves neighbour features AND their dst scores;
+            #  * ONE CSR reduction sums weighted neighbours AND the attention
+            #    mass (the reference does 2 spmms per head, layers.py:81-85).
+            edge_dtype = (jnp.bfloat16 if self.dtype == jnp.bfloat16
+                          else jnp.float32)
+            xd = x.astype(self.dtype)
+            wh = w[:, 0, :].astype(self.dtype)                   # (H, F)
+            hf = jnp.concatenate([xd * wh[h][None, :]
+                                  for h in range(H)], axis=1)    # (N, H*F)
+            # score of edge (i <- j): h_i.a_src + h_j.a_dst; with the diag
+            # projection both reduce to x @ (w_h * a_h) — tiny matmuls
+            s_src_nh = x @ (wh.astype(jnp.float32)
+                            * a_src).T.astype(x.dtype)           # (N, H)
+            s_dst_nh = x @ (wh.astype(jnp.float32)
+                            * a_dst).T.astype(x.dtype)
+            packed = jnp.concatenate(
+                [hf, s_dst_nh.astype(self.dtype)],
+                axis=1).astype(edge_dtype)                       # (N, HF+H)
+            g = edge_gather_col(packed, graph)                   # (E, HF+H)
+            s_dst_e = g[:, H * F:].astype(jnp.float32)
+            score_e = edge_gather_row(s_src_nh.astype(jnp.float32),
+                                      graph) + s_dst_e           # (E, H)
+            e = jnp.exp(-nn.leaky_relu(score_e, negative_slope=0.2))
+            e = jnp.where(mask[:, None], e, 0.0)
+            e_low = e.astype(edge_dtype)
+            packed_vals = jnp.concatenate(
+                [g[:, h * F:(h + 1) * F] * e_low[:, h:h + 1]
+                 for h in range(H)] + [e_low], axis=1)           # (E, HF+H)
+            out = segment_reduce_sorted(packed_vals, graph)
+            out = out.astype(jnp.float32)
+            agg = out[:, :H * F].reshape(n, H, F)
+            rowsum = out[:, H * F:]                              # (N, H)
+            return agg / rowsum[:, :, None]                      # (N, H, F)
+
+        if self.diag:
+            h_nhf = (x[:, None, :].astype(self.dtype)
+                     * w[:, 0, :][None, :, :].astype(self.dtype))  # (N, H, F)
+        else:
             h_nhf = jnp.einsum("nf,hfo->nho", x.astype(self.dtype),
                                w.astype(self.dtype),
                                preferred_element_type=jnp.float32)
-            a = self.param("a_src_dst", inits.xavier_uniform(), (H, 2 * F, 1))
-
         h_nhf = h_nhf.astype(jnp.float32)
-        a_src = a[:, :F, 0].astype(jnp.float32)   # (H, F)
-        a_dst = a[:, F:, 0].astype(jnp.float32)
-        # score of edge (i <- j): [h_i ; h_j] . a == h_i.a_src + h_j.a_dst
         s_src_nh = jnp.einsum("nhf,hf->nh", h_nhf, a_src)     # (N, H)
         s_dst_nh = jnp.einsum("nhf,hf->nh", h_nhf, a_dst)
 
-        use_dropout = self.attn_dropout > 0 and not deterministic
         if not use_dropout:
-            # scatter-free hot path: node->edge gathers carry CSR backward
-            # rules (ops/segment.py); one (E, H*F) reduction for the weighted
-            # neighbours + one small (E, H) reduction for the attention mass
-            # (the reference does 2 spmms per head, layers.py:81-85)
+            # non-diag scatter-free path (dense per-head projections)
             score_e = (edge_gather_row(s_src_nh, graph)
                        + edge_gather_col(s_dst_nh, graph))    # (E, H)
             e = jnp.exp(-nn.leaky_relu(score_e, negative_slope=0.2))
             e = jnp.where(mask[:, None], e, 0.0)
             gathered = edge_gather_col(h_nhf.reshape(n, H * F), graph)
-            weighted = (gathered.reshape(-1, H, F)
-                        * e[:, :, None]).reshape(-1, H * F)
-            agg = segment_reduce_sorted(weighted, graph).reshape(n, H, F)
-            rowsum = segment_reduce_sorted(e, graph)          # (N, H)
+            weighted = jnp.concatenate(
+                [gathered[:, h * F:(h + 1) * F] * e[:, h:h + 1]
+                 for h in range(H)] + [e], axis=1)
+            out = segment_reduce_sorted(weighted, graph)
+            agg = out[:, :H * F].reshape(n, H, F)
+            rowsum = out[:, H * F:]
             return agg / rowsum[:, :, None]                   # (N, H, F)
 
         # general path: sorted-edge segment sums (supports attn dropout)

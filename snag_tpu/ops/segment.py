@@ -42,10 +42,13 @@ def _csr_gather_fwd_impl(values, arrs, n_nodes, gather_width):
     idx = starts[:, None] + pos[None, :]
     # over-degree slots point at the last (guaranteed-padding, zero) edge
     idx = jnp.where(pos[None, :] >= deg[:, None], e - 1, idx)
-    out = jnp.take(values, idx, axis=0).sum(axis=1)          # (N, C)
-    tail = jax.ops.segment_sum(values[tail_sel], tail_row,
+    # low-precision values (bf16 edge transport halves the gather bytes, the
+    # profiled bandwidth bound) still accumulate in f32
+    acc = jnp.float32 if values.dtype != jnp.float64 else values.dtype
+    out = jnp.take(values, idx, axis=0).sum(axis=1, dtype=acc)   # (N, C)
+    tail = jax.ops.segment_sum(values[tail_sel].astype(acc), tail_row,
                                num_segments=n_nodes, indices_are_sorted=True)
-    return out + tail
+    return (out + tail).astype(values.dtype)
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3))

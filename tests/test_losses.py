@@ -56,6 +56,52 @@ def test_icl_weighted():
     np.testing.assert_allclose(float(got), want, rtol=2e-3)
 
 
+def test_streaming_icl_grads_match_autodiff():
+    """The custom-VJP streaming NT-Xent core must agree with plain autodiff
+    of the materialized-concat formulation, values AND gradients."""
+    import jax
+    from snag_tpu.losses.contrastive import icl_loss_multi
+
+    rng = np.random.default_rng(0)
+    M, B, N, d = 3, 10, 40, 8
+    emb = jnp.asarray(rng.normal(size=(M, N, d)).astype(np.float32))
+    emb = emb / jnp.linalg.norm(emb, axis=2, keepdims=True)
+    links = jnp.asarray(rng.choice(N, size=(B, 2), replace=False).astype(np.int32))
+    w = jnp.asarray(rng.uniform(0.2, 1, size=(M, B)).astype(np.float32))
+    valid = jnp.asarray(np.array([True] * 8 + [False] * 2))
+
+    def ref(emb, w):
+        zis, zjs = emb[:, links[:, 0], :], emb[:, links[:, 1], :]
+        eye = jnp.eye(B)
+        z = jnp.concatenate([zis, zjs], axis=1)
+        big = jnp.einsum("mbd,mcd->mbc", z, z) / 0.1
+        ab = big[:, :B, B:]
+        aa = big[:, :B, :B] - eye * LARGE
+        bb = big[:, B:, B:] - eye * LARGE
+        cm = jnp.where(valid[None, None, :], 0.0, -LARGE)
+        ab, aa, bb = ab + cm, aa + cm, bb + cm
+        la = jnp.concatenate([ab, aa], axis=2)
+        lb = jnp.concatenate([jnp.swapaxes(ab, 1, 2), bb], axis=2)
+
+        def xent(l):
+            lp = jax.nn.log_softmax(l, axis=2)
+            per = -lp[:, jnp.arange(B), jnp.arange(B)] * w
+            per = jnp.where(valid[None, :], per, 0.0)
+            return per.sum(axis=1) / valid.sum()
+
+        return (0.4 * xent(la) + 0.6 * xent(lb)).sum()
+
+    def mine(emb, w):
+        return icl_loss_multi(emb, links, tau=0.1, ab_weight=0.4,
+                              w_min=w, valid=valid).sum()
+
+    v1, g1 = jax.value_and_grad(ref, argnums=(0, 1))(emb, w)
+    v2, g2 = jax.value_and_grad(mine, argnums=(0, 1))(emb, w)
+    np.testing.assert_allclose(float(v1), float(v2), rtol=1e-6)
+    for a, b in zip(g1, g2):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
+
+
 def naive_icl_inversion(emb, links, tau, alpha):
     """Reference inversion branch (SNAG_loss.py:115-118): [ab|bb] / [ba|aa]."""
     emb = emb / np.linalg.norm(emb, axis=1, keepdims=True)

@@ -38,6 +38,9 @@ def test_joint_ways_run(mkgc_data, joint_way):
 
 
 def test_mkgc_learns(mkgc_data):
+    # epoch shuffles draw from the global np RNG (reference semantics);
+    # pin it so earlier tests can't change this test's batch order
+    np.random.seed(7)
     cfg = _cfg(joint_way="Mformer_hd_mean", epoch=60, add_noise=0)
     runner = MKGCRunner(cfg, create_logger(name="t2"), data=mkgc_data)
     for e in range(60):
