@@ -140,6 +140,9 @@ class Config:
     # ---- MSNEA (config.py:129-134) ----
     dim: int = 100
     neg_triple_num: int = 1
+    # use_bert / use_attr_value are parsed-but-dead in the reference too:
+    # declared at reference config.py:132,134 and read by NOTHING in the
+    # repo (verified by exhaustive grep) — kept for CLI contract parity.
     use_bert: int = 0
     use_attr_value: int = 0
 

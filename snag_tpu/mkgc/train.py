@@ -123,6 +123,30 @@ def make_mkgc_train_step(cfg: MKGCConfig, model: MKGCModel, tx,
     return step
 
 
+def make_mkgc_epoch_fn(cfg: MKGCConfig, model: MKGCModel, tx,
+                       stats_vis: noise_ops.TableStats,
+                       stats_txt: noise_ops.TableStats):
+    """Whole-epoch training as ONE device program.
+
+    The reference iterates NUM_BATCH host-side batches per epoch; on TPU
+    through a remote tunnel each dispatch + 17 KB batch upload costs more
+    than the step's compute (profiled: ~13.6 ms/step for ~1 ms of math at
+    DB15K geometry).  Uploading the epoch's shuffled triples once as
+    (S, B, 3) and ``lax.scan``-ning the step over the leading axis turns 64+
+    dispatches into one."""
+    step = make_mkgc_train_step(cfg, model, tx, stats_vis, stats_txt)
+
+    @partial(jax.jit, donate_argnums=(0,))
+    def epoch_fn(state: MKGCState, triples, feats: MKGCFeatures, epoch):
+        def body(st, pos):
+            st, loss, _ = step(st, pos, feats, epoch)
+            return st, loss
+        state, losses = jax.lax.scan(body, state, triples)
+        return state, losses.mean()
+
+    return epoch_fn
+
+
 def make_score_fn(model: MKGCModel):
     """Jitted chunked filtered-rank evaluator, fully device-side.
 
@@ -275,6 +299,8 @@ class MKGCRunner:
         stats_txt = noise_ops.table_stats(self.feats.textual)
         self.train_step = make_mkgc_train_step(cfg, self.model, self.tx,
                                                stats_vis, stats_txt)
+        self.epoch_fn = make_mkgc_epoch_fn(cfg, self.model, self.tx,
+                                           stats_vis, stats_txt)
         if self.mesh is not None:
             from snag_tpu.parallel.mesh import replicated
             rep = replicated(self.mesh)
@@ -288,6 +314,15 @@ class MKGCRunner:
                 self.train_step,
                 in_shardings=(None, self._pos_sharding, None, None),
                 donate_argnums=(0,))
+            from jax.sharding import NamedSharding, PartitionSpec as P
+            from snag_tpu.parallel.mesh import DATA_AXIS
+            epoch_sh = NamedSharding(self.mesh, P(None, DATA_AXIS, None))
+            self.epoch_fn = jax.jit(
+                self.epoch_fn, in_shardings=(None, epoch_sh, None, None),
+                donate_argnums=(0,))
+            self._epoch_sharding = epoch_sh
+        else:
+            self._epoch_sharding = None
         self._noise_fn = None
         if cfg.add_noise and cfg.noise_update != "step":
             self._noise_fn = make_mkgc_noise_fn(cfg, stats_vis, stats_txt)
@@ -312,17 +347,19 @@ class MKGCRunner:
         if self._noise_fn is not None:
             feats_epoch = self._noise_fn(self.state.base_key, self.feats,
                                          jnp.asarray(epoch))
-        losses = []
-        for i in range(0, n_full, b):
-            pos = jnp.asarray(data[i:i + b].astype(np.int32))
-            if self._pos_sharding is not None:
-                pos = jax.device_put(pos, self._pos_sharding)
-            self.state, loss, _ = self.train_step(self.state, pos, feats_epoch,
-                                                  jnp.asarray(epoch))
-            losses.append(loss)
+        if n_full == 0:
+            return 0.0
+        # whole epoch in one device program: (S, B, 3) triples uploaded once,
+        # lax.scan over the step (see make_mkgc_epoch_fn)
+        triples = jnp.asarray(
+            data[:n_full].astype(np.int32).reshape(n_full // b, b, 3))
+        if self._epoch_sharding is not None:
+            triples = jax.device_put(triples, self._epoch_sharding)
+        self.state, mean_loss = self.epoch_fn(self.state, triples, feats_epoch,
+                                              jnp.asarray(epoch))
         # one host sync per epoch (device readbacks are expensive through
         # the remote tunnel)
-        return float(jnp.stack(losses).mean()) if losses else 0.0
+        return float(mean_loss)
 
     def evaluate(self, split: str = "valid"):
         triples = getattr(self.data, split)
