@@ -55,7 +55,11 @@ def main():
     print(f"edges={graph.row.shape[0]} gather_width={graph.gather_width} "
           f"col_gather_width={graph.col_gather_width} n_tail={graph.n_tail}")
 
-    enc = model.multimodal_encoder
+    from snag_tpu.models.encoder import MultiModalEncoder
+    enc = MultiModalEncoder(
+        cfg=cfg, ent_num=data.ent_num, img_feature_dim=data.img_dim,
+        attr_input_dim=int(data.att_features.shape[1]),
+        char_feature_dim=data.char_dim, fusion_kind="mformer")
     eparams = params["multimodal_encoder"]
 
     # GAT only

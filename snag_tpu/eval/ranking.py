@@ -31,11 +31,32 @@ def pairwise_distances(x: jnp.ndarray, y: Optional[jnp.ndarray] = None) -> jnp.n
     return jnp.maximum(d, 0.0)
 
 
+def topk_rowwise(x: jnp.ndarray, k: int):
+    """Exact row-wise top-k (values, indices) for SMALL k.
+
+    ``jax.lax.top_k`` lowers to a sort of the full row on TPU —
+    O(N log N) work and the dominant cost of the (N, N) eval matrices.
+    For the k<=10 this evaluator needs, k passes of max/argmax + a
+    single-element row scatter are exact (argmax tie-breaks on the first
+    occurrence, matching top_k's stable order) and run at VPU bandwidth.
+    """
+    n = x.shape[0]
+    rows = jnp.arange(n)
+    vals, idxs = [], []
+    for _ in range(k):
+        i = jnp.argmax(x, axis=1)
+        v = jnp.take_along_axis(x, i[:, None], axis=1)[:, 0]
+        vals.append(v)
+        idxs.append(i)
+        x = x.at[rows, i].set(-jnp.inf)
+    return jnp.stack(vals, axis=1), jnp.stack(idxs, axis=1)
+
+
 def csls_sim(sim_mat: jnp.ndarray, k: int) -> jnp.ndarray:
     """CSLS re-ranking: 2*sim - r_left - r_right with mean top-k neighborhood
     similarities (src/utils.py:417-435)."""
-    nearest1 = jnp.mean(jax.lax.top_k(sim_mat, k)[0], axis=1)      # rows
-    nearest2 = jnp.mean(jax.lax.top_k(sim_mat.T, k)[0], axis=1)    # cols
+    nearest1 = jnp.mean(topk_rowwise(sim_mat, k)[0], axis=1)       # rows
+    nearest2 = jnp.mean(topk_rowwise(sim_mat.T, k)[0], axis=1)     # cols
     out = 2 * sim_mat.T - nearest1[None, :]    # subtract row-wise means
     out = out.T - nearest2[None, :]
     return out
@@ -83,7 +104,7 @@ def _eval_core(emb_l, emb_r, csls_k: int, use_csls: bool,
     ranks_r2l = _ranks(distance.T)
     top3 = None
     if with_top3:
-        _, top3 = jax.lax.top_k(-distance, 3)
+        _, top3 = topk_rowwise(-distance, 3)
     return distance, ranks_l2r, ranks_r2l, top3
 
 
@@ -96,7 +117,7 @@ FULL_MATRIX_MAX = 25000
 def _knn_means_chunk(emb_q, emb_c, k: int):
     """Mean similarity of each query's top-k neighbours (CSLS r terms)."""
     sim = 1 - pairwise_distances(emb_q, emb_c)
-    return jnp.mean(jax.lax.top_k(sim, k)[0], axis=1)
+    return jnp.mean(topk_rowwise(sim, k)[0], axis=1)
 
 
 def _knn_means(emb_q, emb_c, k: int, chunk: int = 4096):
@@ -130,7 +151,7 @@ def _chunk_ranks(q_chunk, emb_c, gold_idx, col_offset, r_q_chunk, r_c,
     not_gold = cols != gold_idx[:, None]
     smaller = ((d < d_true[:, None]) & not_gold).sum(axis=1)
     tied_before = ((d == d_true[:, None]) & (cols < gold_idx[:, None])).sum(axis=1)
-    top3 = jax.lax.top_k(-d, 3)[1]
+    top3 = topk_rowwise(-d, 3)[1]
     return smaller + tied_before, top3
 
 
