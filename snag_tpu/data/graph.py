@@ -80,6 +80,24 @@ class Graph:
     col_tail_row: np.ndarray = None   # (Tc_pad,) col value (target node)
     col_gather_width: int = 0
 
+    # row/col tile structures for the Pallas GAT aggregation kernel
+    # (ops/pallas/tile_segment.py): per-128-row-tile chunk ranges + hub
+    # spill lists; rt_* over row-sorted edges, ct_* over col-sorted order.
+    rt_chunk_base: np.ndarray = None  # (n_tiles,) int32
+    rt_nc: np.ndarray = None          # (n_tiles,) int32
+    rt_spill_sel: np.ndarray = None   # (S_pad,) int32
+    rt_spill_row: np.ndarray = None   # (S_pad,) int32
+    rt_n_tiles: int = 0
+    rt_max_chunks: int = 0
+    rt_n_spill: int = 0
+    ct_chunk_base: np.ndarray = None
+    ct_nc: np.ndarray = None
+    ct_spill_sel: np.ndarray = None
+    ct_spill_row: np.ndarray = None
+    ct_n_tiles: int = 0
+    ct_max_chunks: int = 0
+    ct_n_spill: int = 0
+
     @property
     def e_pad(self) -> int:
         return int(self.row.shape[0])
@@ -91,16 +109,24 @@ jax.tree_util.register_pytree_node(
     Graph,
     lambda g: ((g.row, g.col, g.w, g.mask, g.starts, g.deg, g.tail_sel,
                 g.tail_row, g.col_order, g.col_starts, g.col_deg,
-                g.col_tail_sel, g.col_tail_row),
+                g.col_tail_sel, g.col_tail_row, g.rt_chunk_base, g.rt_nc,
+                g.rt_spill_sel, g.rt_spill_row, g.ct_chunk_base, g.ct_nc,
+                g.ct_spill_sel, g.ct_spill_row),
                (g.n_nodes, g.n_edges, g.gather_width, g.n_tail,
-                g.col_gather_width)),
+                g.col_gather_width, g.rt_n_tiles, g.rt_max_chunks,
+                g.rt_n_spill, g.ct_n_tiles, g.ct_max_chunks, g.ct_n_spill)),
     lambda aux, leaves: Graph(
         n_nodes=aux[0], n_edges=aux[1], row=leaves[0], col=leaves[1],
         w=leaves[2], mask=leaves[3], starts=leaves[4], deg=leaves[5],
         tail_sel=leaves[6], tail_row=leaves[7], gather_width=aux[2],
         n_tail=aux[3], col_order=leaves[8], col_starts=leaves[9],
         col_deg=leaves[10], col_tail_sel=leaves[11], col_tail_row=leaves[12],
-        col_gather_width=aux[4]),
+        col_gather_width=aux[4], rt_chunk_base=leaves[13], rt_nc=leaves[14],
+        rt_spill_sel=leaves[15], rt_spill_row=leaves[16],
+        rt_n_tiles=aux[5], rt_max_chunks=aux[6], rt_n_spill=aux[7],
+        ct_chunk_base=leaves[17], ct_nc=leaves[18], ct_spill_sel=leaves[19],
+        ct_spill_row=leaves[20], ct_n_tiles=aux[8], ct_max_chunks=aux[9],
+        ct_n_spill=aux[10]),
 )
 
 
@@ -193,12 +219,29 @@ def build_graph(n_nodes: int, triples: Sequence[Tuple[int, int, int]],
     (col_starts, col_deg, col_tail_sel, col_tail_row, col_gather_width,
      _nt) = _csr_structure(cols_sorted.astype(np.int64), n_nodes, e_pad)
 
+    # row/col tile structures for the Pallas aggregation kernel
+    from snag_tpu.ops.pallas.tile_segment import build_tile_structure
+    rt = build_tile_structure(row_p.astype(np.int64), starts, n_nodes, e_pad)
+    cstarts_full = np.zeros(n_nodes, dtype=np.int64)
+    cdeg = np.bincount(cols_sorted.astype(np.int64), minlength=n_nodes)
+    cstarts_full[1:] = np.cumsum(cdeg)[:-1]
+    ct = build_tile_structure(cols_sorted.astype(np.int64), cstarts_full,
+                              n_nodes, e_pad)
+
     return Graph(n_nodes=n_nodes, n_edges=n_real, row=row_p, col=col_p,
                  w=w_p, mask=msk, starts=starts, deg=deg, tail_sel=tail_sel,
                  tail_row=tail_row, gather_width=gather_width, n_tail=n_tail,
                  col_order=col_order, col_starts=col_starts, col_deg=col_deg,
                  col_tail_sel=col_tail_sel, col_tail_row=col_tail_row,
-                 col_gather_width=col_gather_width)
+                 col_gather_width=col_gather_width,
+                 rt_chunk_base=rt.chunk_base, rt_nc=rt.nc,
+                 rt_spill_sel=rt.spill_sel, rt_spill_row=rt.spill_row,
+                 rt_n_tiles=rt.n_tiles, rt_max_chunks=rt.max_chunks,
+                 rt_n_spill=rt.n_spill,
+                 ct_chunk_base=ct.chunk_base, ct_nc=ct.nc,
+                 ct_spill_sel=ct.spill_sel, ct_spill_row=ct.spill_row,
+                 ct_n_tiles=ct.n_tiles, ct_max_chunks=ct.max_chunks,
+                 ct_n_spill=ct.n_spill)
 
 
 def dense_adjacency(g: Graph) -> np.ndarray:

@@ -105,44 +105,32 @@ class MultiHeadGraphAttention(nn.Module):
 
         use_dropout = self.attn_dropout > 0 and not deterministic
         if self.diag and not use_dropout:
-            # scatter-free hot path.  Everything stays FLAT 2D (N/E, H*F)
-            # with per-head column slices — edge-level (E, H, F) reshapes
-            # forced multi-ms relayout copies (profiled), and narrow (E, H)
-            # gathers/reduces are latency-bound at ~4 ms each, so the
-            # attention scores/mass piggyback on the wide feature arrays:
-            #  * ONE col-gather moves neighbour features AND their dst scores;
-            #  * ONE CSR reduction sums weighted neighbours AND the attention
-            #    mass (the reference does 2 spmms per head, layers.py:81-85).
-            edge_dtype = (jnp.bfloat16 if self.dtype == jnp.bfloat16
-                          else jnp.float32)
-            xd = x.astype(self.dtype)
-            wh = w[:, 0, :].astype(self.dtype)                   # (H, F)
-            hf = jnp.concatenate([xd * wh[h][None, :]
-                                  for h in range(H)], axis=1)    # (N, H*F)
+            # fused-aggregation hot path.  The diag projection is
+            # elementwise, so it COMMUTES out of the neighbour sum:
+            #   agg_h = (sum_j e_hij x_j) * w_h
+            # — edges carry only the shared (E, F) neighbour rows and the
+            # narrow (E, H) attention mass, and the whole
+            # gather-weight-reduce runs in ONE Pallas row-tile kernel
+            # (ops/gat_agg.py; replaces the reference's 2-spmm-per-head
+            # loop, layers.py:81-85).  The previous packed (E, H*F+H)
+            # formulation moved ~5 GB/layer through HBM (profiled).
+            from snag_tpu.ops.gat_agg import gat_aggregate
+            wh = w[:, 0, :].astype(jnp.float32)                  # (H, F)
             # score of edge (i <- j): h_i.a_src + h_j.a_dst; with the diag
             # projection both reduce to x @ (w_h * a_h) — tiny matmuls
-            s_src_nh = x @ (wh.astype(jnp.float32)
-                            * a_src).T.astype(x.dtype)           # (N, H)
-            s_dst_nh = x @ (wh.astype(jnp.float32)
-                            * a_dst).T.astype(x.dtype)
-            packed = jnp.concatenate(
-                [hf, s_dst_nh.astype(self.dtype)],
-                axis=1).astype(edge_dtype)                       # (N, HF+H)
-            g = edge_gather_col(packed, graph)                   # (E, HF+H)
-            s_dst_e = g[:, H * F:].astype(jnp.float32)
-            score_e = edge_gather_row(s_src_nh.astype(jnp.float32),
-                                      graph) + s_dst_e           # (E, H)
+            s_src_nh = x @ (wh * a_src).T.astype(x.dtype)        # (N, H)
+            s_dst_nh = x @ (wh * a_dst).T.astype(x.dtype)
+            score_e = (edge_gather_row(s_src_nh.astype(jnp.float32), graph)
+                       + edge_gather_col(s_dst_nh.astype(jnp.float32),
+                                         graph))                 # (E, H)
             e = jnp.exp(-nn.leaky_relu(score_e, negative_slope=0.2))
             e = jnp.where(mask[:, None], e, 0.0)
-            e_low = e.astype(edge_dtype)
-            packed_vals = jnp.concatenate(
-                [g[:, h * F:(h + 1) * F] * e_low[:, h:h + 1]
-                 for h in range(H)] + [e_low], axis=1)           # (E, HF+H)
-            out = segment_reduce_sorted(packed_vals, graph)
-            out = out.astype(jnp.float32)
-            agg = out[:, :H * F].reshape(n, H, F)
-            rowsum = out[:, H * F:]                              # (N, H)
-            return agg / rowsum[:, :, None]                      # (N, H, F)
+            edge_dtype = (jnp.bfloat16 if self.dtype == jnp.bfloat16
+                          else jnp.float32)
+            agg, rowsum = gat_aggregate(x.astype(edge_dtype),
+                                        e.astype(edge_dtype), graph)
+            agg = agg * wh[None, :, :]                           # (N, H, F)
+            return agg / rowsum[:, :, None]
 
         if self.diag:
             h_nhf = (x[:, None, :].astype(self.dtype)
