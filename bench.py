@@ -88,14 +88,25 @@ def main():
     state, loss, _ = step(state, links, valid, nfeats, graph, jnp.asarray(0))
     jax.block_until_ready(loss)
 
-    # sustained step throughput, pipelined (one host sync at the end — a
-    # device->host readback costs ~350 ms through the axon tunnel and would
-    # otherwise dominate; real-hardware readbacks are microseconds)
+    # sustained step throughput measured as a K-step lax.scan chain inside
+    # ONE dispatch: per-dispatch overheads and host->device scalar
+    # transfers through the axon tunnel otherwise distort the number by
+    # 10-40% (see memory: axon-timing-artifacts); the scan chain is what a
+    # production epoch driver executes anyway.
     n_iter = 30
+
+    @jax.jit
+    def run_steps(state, links, valid, nfeats, graph):
+        def body(st, i):
+            st, loss, _ = step(st, links, valid, nfeats, graph, i)
+            return st, loss
+        st, losses = jax.lax.scan(body, state, jnp.arange(n_iter))
+        return st, losses[-1]
+
+    state, loss = run_steps(state, links, valid, nfeats, graph)  # compile
+    jax.block_until_ready(loss)
     t0 = time.perf_counter()
-    for i in range(n_iter):
-        state, loss, _ = step(state, links, valid, nfeats, graph,
-                              jnp.asarray(i))
+    state, loss = run_steps(state, links, valid, nfeats, graph)
     jax.block_until_ready(loss)
     dt = time.perf_counter() - t0
     steps_per_sec = n_iter / dt

@@ -40,15 +40,16 @@ def topk_rowwise(x: jnp.ndarray, k: int):
     single-element row scatter are exact (argmax tie-breaks on the first
     occurrence, matching top_k's stable order) and run at VPU bandwidth.
     """
-    n = x.shape[0]
-    rows = jnp.arange(n)
+    cols = jnp.arange(x.shape[1])[None, :]
     vals, idxs = [], []
     for _ in range(k):
         i = jnp.argmax(x, axis=1)
         v = jnp.take_along_axis(x, i[:, None], axis=1)[:, 0]
         vals.append(v)
         idxs.append(i)
-        x = x.at[rows, i].set(-jnp.inf)
+        # mask via a full elementwise pass — a row scatter serializes on
+        # TPU (~10K updates/pass) and measured slower than the pass itself
+        x = jnp.where(cols == i[:, None], -jnp.inf, x)
     return jnp.stack(vals, axis=1), jnp.stack(idxs, axis=1)
 
 

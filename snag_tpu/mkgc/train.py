@@ -125,7 +125,8 @@ def make_mkgc_train_step(cfg: MKGCConfig, model: MKGCModel, tx,
 
 def make_mkgc_epoch_fn(cfg: MKGCConfig, model: MKGCModel, tx,
                        stats_vis: noise_ops.TableStats,
-                       stats_txt: noise_ops.TableStats):
+                       stats_txt: noise_ops.TableStats,
+                       pos_sharding=None):
     """Whole-epoch training as ONE device program.
 
     The reference iterates NUM_BATCH host-side batches per epoch; on TPU
@@ -136,12 +137,25 @@ def make_mkgc_epoch_fn(cfg: MKGCConfig, model: MKGCModel, tx,
     dispatches into one."""
     step = make_mkgc_train_step(cfg, model, tx, stats_vis, stats_txt)
 
-    @partial(jax.jit, donate_argnums=(0,))
-    def epoch_fn(state: MKGCState, triples, feats: MKGCFeatures, epoch):
+    @partial(jax.jit, donate_argnums=(0,), static_argnums=(4,))
+    def epoch_fn(state: MKGCState, triples, feats: MKGCFeatures, epoch,
+                 batch: int):
+        # device-side epoch shuffle (reference: OpenKE-style host shuffle;
+        # metric-level parity, uniform either way) — the triple table stays
+        # resident, nothing is uploaded per epoch
+        n = triples.shape[0]
+        perm = jax.random.permutation(
+            jax.random.fold_in(jax.random.fold_in(state.base_key, 424243),
+                               epoch), n)
+        shuffled = triples[perm][:(n // batch) * batch].reshape(
+            n // batch, batch, 3)
+        if pos_sharding is not None:
+            shuffled = jax.lax.with_sharding_constraint(shuffled, pos_sharding)
+
         def body(st, pos):
             st, loss, _ = step(st, pos, feats, epoch)
             return st, loss
-        state, losses = jax.lax.scan(body, state, triples)
+        state, losses = jax.lax.scan(body, state, shuffled)
         return state, losses.mean()
 
     return epoch_fn
@@ -317,12 +331,9 @@ class MKGCRunner:
             from jax.sharding import NamedSharding, PartitionSpec as P
             from snag_tpu.parallel.mesh import DATA_AXIS
             epoch_sh = NamedSharding(self.mesh, P(None, DATA_AXIS, None))
-            self.epoch_fn = jax.jit(
-                self.epoch_fn, in_shardings=(None, epoch_sh, None, None),
-                donate_argnums=(0,))
-            self._epoch_sharding = epoch_sh
-        else:
-            self._epoch_sharding = None
+            self.epoch_fn = make_mkgc_epoch_fn(cfg, self.model, self.tx,
+                                               stats_vis, stats_txt,
+                                               pos_sharding=epoch_sh)
         self._noise_fn = None
         if cfg.add_noise and cfg.noise_update != "step":
             self._noise_fn = make_mkgc_noise_fn(cfg, stats_vis, stats_txt)
@@ -334,29 +345,28 @@ class MKGCRunner:
             self.batch_size = max(n_dev, (self.batch_size // n_dev) * n_dev)
             logger.info(f"mesh batch_size: {self.batch_size}")
         self._score_fns = make_score_fn(self.model)
+        self._train_dev = None      # resident device triple table
         self.best_mrr = 0.0
         self.best_params = None
         self.bad_evals = 0
 
     def train_epoch(self, epoch: int) -> float:
-        perm = np.random.permutation(len(self.data.train))
-        data = self.data.train[perm]
         b = self.batch_size
-        n_full = (len(data) // b) * b
+        n_full = (len(self.data.train) // b) * b
+        if self._train_dev is None:
+            self._train_dev = jnp.asarray(self.data.train.astype(np.int32))
         feats_epoch = self.feats
         if self._noise_fn is not None:
             feats_epoch = self._noise_fn(self.state.base_key, self.feats,
                                          jnp.asarray(epoch))
         if n_full == 0:
             return 0.0
-        # whole epoch in one device program: (S, B, 3) triples uploaded once,
-        # lax.scan over the step (see make_mkgc_epoch_fn)
-        triples = jnp.asarray(
-            data[:n_full].astype(np.int32).reshape(n_full // b, b, 3))
-        if self._epoch_sharding is not None:
-            triples = jax.device_put(triples, self._epoch_sharding)
-        self.state, mean_loss = self.epoch_fn(self.state, triples, feats_epoch,
-                                              jnp.asarray(epoch))
+        # whole epoch in one device program: the resident triple table is
+        # shuffled ON DEVICE and lax.scan runs every batch
+        # (see make_mkgc_epoch_fn) — nothing is uploaded per epoch
+        self.state, mean_loss = self.epoch_fn(self.state, self._train_dev,
+                                              feats_epoch, jnp.asarray(epoch),
+                                              b)
         # one host sync per epoch (device readbacks are expensive through
         # the remote tunnel)
         return float(mean_loss)

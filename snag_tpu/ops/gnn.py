@@ -114,21 +114,16 @@ class MultiHeadGraphAttention(nn.Module):
             # (ops/gat_agg.py; replaces the reference's 2-spmm-per-head
             # loop, layers.py:81-85).  The previous packed (E, H*F+H)
             # formulation moved ~5 GB/layer through HBM (profiled).
-            from snag_tpu.ops.gat_agg import gat_aggregate
+            from snag_tpu.ops.gat_attn_primitive import gat_attention
             wh = w[:, 0, :].astype(jnp.float32)                  # (H, F)
             # score of edge (i <- j): h_i.a_src + h_j.a_dst; with the diag
             # projection both reduce to x @ (w_h * a_h) — tiny matmuls
-            s_src_nh = x @ (wh * a_src).T.astype(x.dtype)        # (N, H)
-            s_dst_nh = x @ (wh * a_dst).T.astype(x.dtype)
-            score_e = (edge_gather_row(s_src_nh.astype(jnp.float32), graph)
-                       + edge_gather_col(s_dst_nh.astype(jnp.float32),
-                                         graph))                 # (E, H)
-            e = jnp.exp(-nn.leaky_relu(score_e, negative_slope=0.2))
-            e = jnp.where(mask[:, None], e, 0.0)
+            s_src_nh = x.astype(jnp.float32) @ (wh * a_src).T    # (N, H)
+            s_dst_nh = x.astype(jnp.float32) @ (wh * a_dst).T
             edge_dtype = (jnp.bfloat16 if self.dtype == jnp.bfloat16
                           else jnp.float32)
-            agg, rowsum = gat_aggregate(x.astype(edge_dtype),
-                                        e.astype(edge_dtype), graph)
+            agg, rowsum = gat_attention(x.astype(edge_dtype),
+                                        s_src_nh, s_dst_nh, graph)
             agg = agg * wh[None, :, :]                           # (N, H, F)
             return agg / rowsum[:, :, None]
 

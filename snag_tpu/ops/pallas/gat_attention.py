@@ -1,0 +1,178 @@
+"""Fully-fused sparse-GAT attention + aggregation (diag mode).
+
+One Pallas launch per layer computes, for every head h and node i:
+
+    score_ij = s_src[i, h] + s_dst[j, h]
+    e_ij     = exp(-leakyrelu_0.2(score_ij))        (masked edges -> 0)
+    agg[i,h] = sum_j e_ij * x[j]
+    rowsum[i,h] = sum_j e_ij
+
+This replaces the reference GAT layer's edge pipeline
+(SNAG_MMEA/model/layers.py:68-94: edge cat + matmul + exp + two spmms per
+head) and supersedes the plain weighted reduce of tile_segment.py for the
+forward: narrow (E, H) score gathers are latency-bound on TPU (~4-6 ms
+each, profiled), so here
+
+* ``s_dst`` rides the spare lanes of the padded feature block — ONE wide
+  col-gather moves features and destination scores together;
+* ``s_src`` needs no gather at all: the kernel receives each output
+  tile's (R, H) block directly and broadcasts it onto edges with the
+  same one-hot matmul that does the reduction;
+* masked/padded edges carry row = -1 in ``krow`` and match no output row.
+
+The backward (ops/gat_agg.py) recomputes e from two WIDE gathers (the
+row-gathered [g_agg | g_rs | s_src] block and the col-gathered
+[x | s_dst] block) and reduces with the tile kernel — no narrow edge ops
+anywhere in the layer.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from snag_tpu.ops.pallas.tile_segment import (CHUNK, E_LANES, R,
+                                              TileStructure, _round_up,
+                                              pallas_available)
+
+try:
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+except Exception:  # pragma: no cover
+    pl = None
+    pltpu = None
+
+
+def _leaky(x):
+    return jnp.where(x > 0, x, 0.2 * x)
+
+
+def _attn_kernel(cb_ref, nc_ref, row_ref, xg_ref, ssrc_ref, out_ref, rs_ref,
+                 *, n_heads: int, c_pad: int, c_feat: int):
+    t = pl.program_id(0)
+    c = pl.program_id(1)
+
+    @pl.when(c == 0)
+    def _():
+        out_ref[...] = jnp.zeros_like(out_ref)
+        rs_ref[...] = jnp.zeros_like(rs_ref)
+
+    @pl.when(c < nc_ref[t])
+    def _():
+        rows = row_ref[0].reshape(-1)                         # (CHUNK,)
+        local = rows - t * R                                  # -1 pad -> <0
+        cols = jax.lax.broadcasted_iota(jnp.int32, (CHUNK, R), 1)
+        match = local[:, None] == cols                        # (CHUNK, R)
+        oh = match.astype(xg_ref.dtype)
+
+        xg = xg_ref[...]                                      # (CHUNK, c_pad)
+        # s_src broadcast to edges: one-hot matmul against the tile block
+        ssrc_e = jax.lax.dot_general(
+            oh, ssrc_ref[...].astype(xg.dtype),
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)               # (CHUNK, 128)
+        s_dst = xg[:, c_feat:c_feat + n_heads].astype(jnp.float32)
+        score = ssrc_e[:, :n_heads] + s_dst                   # (CHUNK, H)
+        e = jnp.exp(-_leaky(score))
+        # padded/out-of-tile edges matched no row -> zero via row mask
+        in_tile = jnp.any(match, axis=1)
+        e = jnp.where(in_tile[:, None], e, 0.0).astype(xg.dtype)
+
+        for h in range(n_heads):
+            ohw = oh * e[:, h][:, None]
+            part = jax.lax.dot_general(
+                ohw, xg, dimension_numbers=(((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)           # (R, c_pad)
+            out_ref[:, h * c_pad:(h + 1) * c_pad] += part
+        e_wide = jnp.pad(e, ((0, 0), (0, E_LANES - n_heads)))
+        rs_part = jax.lax.dot_general(
+            oh, e_wide, dimension_numbers=(((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)               # (R, 128)
+        rs_ref[...] += rs_part
+
+
+def fused_gat_attention(
+        xg: jnp.ndarray,          # (N, c_pad): [features | s_dst | 0-pad]
+        s_src: jnp.ndarray,       # (N, H)
+        krow: jnp.ndarray,        # (E_pad,) int32 row ids, -1 on padding
+        col: jnp.ndarray,         # (E_pad,) int32
+        ts: TileStructure,
+        n_nodes: int, n_heads: int, c_feat: int,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Returns (agg (N, H, c_feat) f32, rowsum (N, H) f32)."""
+    e_pad = krow.shape[0]
+    c_pad = xg.shape[1]
+    assert c_pad % 128 == 0 and e_pad % CHUNK == 0
+    xc = xg[col]                                              # (E, c_pad)
+    row_mat = krow.astype(jnp.int32).reshape(e_pad // CHUNK, CHUNK // 128, 128)
+    n_chunks = e_pad // CHUNK
+    n_pad = ts.n_tiles * R
+    ssrc_wide = jnp.zeros((n_pad, E_LANES), xg.dtype)
+    ssrc_wide = ssrc_wide.at[:n_nodes, :n_heads].set(s_src.astype(xg.dtype))
+
+    def idx_edges(t, c, cb, nc):
+        return (jnp.minimum(cb[t] + c, n_chunks - 1), 0)
+
+    out, rs = pl.pallas_call(
+        functools.partial(_attn_kernel, n_heads=n_heads, c_pad=c_pad,
+                          c_feat=c_feat),
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=2,
+            grid=(ts.n_tiles, ts.max_chunks),
+            in_specs=[
+                pl.BlockSpec((1, CHUNK // 128, 128),
+                             lambda t, c, cb, nc: (
+                                 jnp.minimum(cb[t] + c, n_chunks - 1), 0, 0)),
+                pl.BlockSpec((CHUNK, c_pad), idx_edges),       # xc
+                pl.BlockSpec((R, E_LANES),
+                             lambda t, c, cb, nc: (t, 0)),     # s_src tile
+            ],
+            out_specs=[
+                pl.BlockSpec((R, n_heads * c_pad), lambda t, c, *_: (t, 0)),
+                pl.BlockSpec((R, E_LANES), lambda t, c, *_: (t, 0)),
+            ],
+        ),
+        out_shape=[
+            jax.ShapeDtypeStruct((n_pad, n_heads * c_pad), jnp.float32),
+            jax.ShapeDtypeStruct((n_pad, E_LANES), jnp.float32),
+        ],
+    )(jnp.asarray(ts.chunk_base), jnp.asarray(ts.nc), row_mat, xc, ssrc_wide)
+
+    agg = out[:n_nodes].reshape(n_nodes, n_heads, c_pad)[:, :, :c_feat]
+    rowsum = rs[:n_nodes, :n_heads]
+
+    if ts.n_spill:
+        sel = jnp.asarray(ts.spill_sel)
+        srow = jnp.asarray(ts.spill_row)
+        xs = xc[sel].astype(jnp.float32)                      # (S, c_pad)
+        srcs = ssrc_wide[jnp.maximum(jnp.asarray(krow)[sel], 0), :n_heads]
+        score = srcs.astype(jnp.float32) + xs[:, c_feat:c_feat + n_heads]
+        es = jnp.where((jnp.asarray(krow)[sel] >= 0)[:, None],
+                       jnp.exp(-_leaky(score)), 0.0)          # (S, H)
+        tail = jax.ops.segment_sum(
+            (es[:, :, None] * xs[:, None, :c_feat]).reshape(sel.shape[0], -1),
+            srow, num_segments=n_nodes, indices_are_sorted=True)
+        agg = agg + tail.reshape(n_nodes, n_heads, c_feat)
+        rowsum = rowsum + jax.ops.segment_sum(
+            es, srow, num_segments=n_nodes, indices_are_sorted=True)
+    return agg, rowsum
+
+
+def xla_gat_attention(xg, s_src, krow, col, n_nodes, n_heads, c_feat):
+    """Fallback (CPU tests / non-TPU): same math, plain gathers."""
+    mask = krow >= 0
+    row = jnp.maximum(krow, 0)
+    score = s_src[row].astype(jnp.float32) + \
+        xg[col][:, c_feat:c_feat + n_heads].astype(jnp.float32)
+    e = jnp.where(mask[:, None], jnp.exp(-_leaky(score)), 0.0)
+    xc = xg[col][:, :c_feat].astype(jnp.float32)
+    vals = (e[:, :, None] * xc[:, None, :]).reshape(krow.shape[0], -1)
+    agg = jax.ops.segment_sum(vals, row, num_segments=n_nodes,
+                              indices_are_sorted=True)
+    rowsum = jax.ops.segment_sum(e, row, num_segments=n_nodes,
+                                 indices_are_sorted=True)
+    return agg.reshape(n_nodes, n_heads, c_feat), rowsum

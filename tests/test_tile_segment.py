@@ -104,3 +104,44 @@ def test_gat_aggregate_grad_matches_autodiff_fallback():
     me = np.asarray(jnp.asarray(g.mask))
     np.testing.assert_allclose(np.asarray(ge1)[me], np.asarray(ge2)[me],
                                rtol=1e-4, atol=1e-4)
+
+
+def test_gat_attention_primitive_matches_autodiff():
+    """Fused attention primitive (fwd + custom bwd) vs plain formulation."""
+    g = _graph(n=150, n_tri=450, seed=9)
+    rng = np.random.default_rng(13)
+    c, h = 24, 2
+    x = jnp.asarray(rng.normal(size=(g.n_nodes, c)).astype(np.float32))
+    s_src = jnp.asarray(rng.normal(size=(g.n_nodes, h)).astype(np.float32)) * 0.3
+    s_dst = jnp.asarray(rng.normal(size=(g.n_nodes, h)).astype(np.float32)) * 0.3
+
+    from snag_tpu.ops.gat_attn_primitive import gat_attention
+    from snag_tpu.ops.pallas.gat_attention import _leaky
+
+    def f_custom(x, a, b):
+        agg, rs = gat_attention(x, a, b, g)
+        return (agg ** 2).sum() + (rs ** 2).sum()
+
+    def f_plain(x, a, b):
+        row = jnp.asarray(g.row)
+        col = jnp.asarray(g.col)
+        mask = jnp.asarray(g.mask)
+        score = a[row] + b[col]
+        e = jnp.where(mask[:, None], jnp.exp(-_leaky(score)), 0.0)
+        xc = x[col]
+        vals = (e[:, :, None] * xc[:, None, :]).reshape(g.e_pad, -1)
+        agg = jax.ops.segment_sum(vals, row, num_segments=g.n_nodes,
+                                  indices_are_sorted=True)
+        rs = jax.ops.segment_sum(e, row, num_segments=g.n_nodes,
+                                 indices_are_sorted=True)
+        return (agg ** 2).sum() + (rs ** 2).sum()
+
+    v1 = f_custom(x, s_src, s_dst)
+    v2 = f_plain(x, s_src, s_dst)
+    np.testing.assert_allclose(float(v1), float(v2), rtol=1e-5)
+
+    g1 = jax.grad(f_custom, argnums=(0, 1, 2))(x, s_src, s_dst)
+    g2 = jax.grad(f_plain, argnums=(0, 1, 2))(x, s_src, s_dst)
+    for a, b in zip(g1, g2):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=2e-4, atol=2e-4)
