@@ -74,6 +74,10 @@ class Graph:
     gather_width: int = 0
     n_tail: int = 0
     col_order: np.ndarray = None      # (E_pad,) int32
+    col_sorted: np.ndarray = None     # (E_pad,) int32 = col[col_order]
+    row_cs: np.ndarray = None         # (E_pad,) int32 = row[col_order]
+    inv_col_order: np.ndarray = None  # (E_pad,) int32 inverse permutation
+    mask_cs: np.ndarray = None        # (E_pad,) bool = mask[col_order]
     col_starts: np.ndarray = None     # (N,) int32
     col_deg: np.ndarray = None        # (N,) int32
     col_tail_sel: np.ndarray = None   # (Tc_pad,) positions in col order
@@ -111,7 +115,8 @@ jax.tree_util.register_pytree_node(
                 g.tail_row, g.col_order, g.col_starts, g.col_deg,
                 g.col_tail_sel, g.col_tail_row, g.rt_chunk_base, g.rt_nc,
                 g.rt_spill_sel, g.rt_spill_row, g.ct_chunk_base, g.ct_nc,
-                g.ct_spill_sel, g.ct_spill_row),
+                g.ct_spill_sel, g.ct_spill_row, g.col_sorted, g.row_cs,
+                g.inv_col_order, g.mask_cs),
                (g.n_nodes, g.n_edges, g.gather_width, g.n_tail,
                 g.col_gather_width, g.rt_n_tiles, g.rt_max_chunks,
                 g.rt_n_spill, g.ct_n_tiles, g.ct_max_chunks, g.ct_n_spill)),
@@ -126,7 +131,8 @@ jax.tree_util.register_pytree_node(
         rt_n_tiles=aux[5], rt_max_chunks=aux[6], rt_n_spill=aux[7],
         ct_chunk_base=leaves[17], ct_nc=leaves[18], ct_spill_sel=leaves[19],
         ct_spill_row=leaves[20], ct_n_tiles=aux[8], ct_max_chunks=aux[9],
-        ct_n_spill=aux[10]),
+        ct_n_spill=aux[10], col_sorted=leaves[21], row_cs=leaves[22],
+        inv_col_order=leaves[23], mask_cs=leaves[24]),
 )
 
 
@@ -231,7 +237,11 @@ def build_graph(n_nodes: int, triples: Sequence[Tuple[int, int, int]],
     return Graph(n_nodes=n_nodes, n_edges=n_real, row=row_p, col=col_p,
                  w=w_p, mask=msk, starts=starts, deg=deg, tail_sel=tail_sel,
                  tail_row=tail_row, gather_width=gather_width, n_tail=n_tail,
-                 col_order=col_order, col_starts=col_starts, col_deg=col_deg,
+                 col_order=col_order, col_sorted=cols_sorted.astype(np.int32),
+                 row_cs=row_p[col_order].astype(np.int32),
+                 inv_col_order=np.argsort(col_order).astype(np.int32),
+                 mask_cs=msk[col_order],
+                 col_starts=col_starts, col_deg=col_deg,
                  col_tail_sel=col_tail_sel, col_tail_row=col_tail_row,
                  col_gather_width=col_gather_width,
                  rt_chunk_base=rt.chunk_base, rt_nc=rt.nc,

@@ -167,13 +167,28 @@ class MKGCModel(nn.Module):
         """
         cfg = self.cfg
         b, k = rand_ent.shape
-        h = self.joint(pos[:, 0], feats, role=0, deterministic=deterministic)
-        t = self.joint(pos[:, 2], feats, role=1, deterministic=deterministic)
         r = self.rel_emb[pos[:, 1]]
 
-        cor = self.joint_mixed(rand_ent.reshape(-1), corrupt_head.reshape(-1),
-                               feats, deterministic=deterministic
-                               ).reshape(b, k, -1)
+        if b * (k + 2) > 2 * self.ent_num:
+            # the batch touches more joint slots than the whole entity set:
+            # fuse EVERY entity once per role and gather (1.9x fewer fusion
+            # passes at DB15K geometry, where B*K ~ 3.5x the entity count)
+            idx = jnp.arange(self.ent_num)
+            all_h = self.joint(idx, feats, role=0, deterministic=deterministic)
+            all_t = self.joint(idx, feats, role=1, deterministic=deterministic)
+            h = all_h[pos[:, 0]]
+            t = all_t[pos[:, 2]]
+            cor = jnp.where(corrupt_head[:, :, None],
+                            all_h[rand_ent], all_t[rand_ent])
+        else:
+            h = self.joint(pos[:, 0], feats, role=0,
+                           deterministic=deterministic)
+            t = self.joint(pos[:, 2], feats, role=1,
+                           deterministic=deterministic)
+            cor = self.joint_mixed(rand_ent.reshape(-1),
+                                   corrupt_head.reshape(-1), feats,
+                                   deterministic=deterministic
+                                   ).reshape(b, k, -1)
 
         def dist(x, rel, y):
             return jnp.linalg.norm(x + rel - y, axis=-1)

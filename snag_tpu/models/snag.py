@@ -145,6 +145,15 @@ class SNAG(nn.Module):
         cfg = self.cfg
         enc = self.multimodal_encoder(feats, graph, entity_noise_key,
                                       deterministic=deterministic)
+        # materialize encoder outputs once before the loss bundle reads
+        # them through many consumers (gathers per modality, both joint
+        # paths, hidden slices) — without the barrier XLA re-fuses pieces
+        # of the encoder into each consumer (same pathology as the
+        # modal-embedding barrier in encoder.py, profiled separately)
+        present = [e for e in enc if e is not None]
+        barred = iter(jax.lax.optimization_barrier(present))
+        enc = type(enc)(*(next(barred) if e is not None else None
+                          for e in enc))
         hid = self.generate_hidden_emb(enc.hidden)
         gph_h, rel_h, att_h, img_h, name_h, char_h = hid
 

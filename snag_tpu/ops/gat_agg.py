@@ -108,8 +108,7 @@ def _gat_bwd(res, cts):
     d_e = jnp.stack(d_e_parts, axis=1) + g_rs[graph.row]
     d_e = jnp.where(graph.mask[:, None], d_e, 0.0).astype(e.dtype)
 
-    d_x = _col_reduce(d_xc[graph.col_order],
-                      graph.col[graph.col_order], graph)
+    d_x = _col_reduce(d_xc[graph.col_order], graph.col_sorted, graph)
     return d_x.astype(x.dtype), d_e, _graph_zeros(graph)
 
 

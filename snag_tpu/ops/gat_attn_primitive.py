@@ -65,9 +65,12 @@ def _build_xg(x, s_dst):
     n, c = x.shape
     h = s_dst.shape[1]
     c_pad = _round_up(c + h, 128)
-    xg = jnp.zeros((n, c_pad), x.dtype)
-    xg = xg.at[:, :c].set(x)
-    xg = xg.at[:, c:c + h].set(s_dst.astype(x.dtype))
+    # ONE concatenate fusion — zeros + .at[].set() lowers to repeated
+    # dynamic-update-slice passes over the full array (profiled ~4 ms each
+    # at (E, 384) scale in the backward)
+    xg = jnp.concatenate(
+        [x, s_dst.astype(x.dtype),
+         jnp.zeros((n, c_pad - c - h), x.dtype)], axis=1)
     return xg, c_pad
 
 
@@ -103,23 +106,31 @@ def _graph_zeros(graph):
 
 
 def _bwd(res, cts):
+    """Entirely in COL-SORTED edge order: the packed [d_xc | d_score]
+    reduction (the wide one) then needs NO edge permutation — only the
+    narrow d_score is permuted back to row order for the d_s_src reduce.
+    (The previous row-ordered formulation permuted the full (E, 384)
+    packed block: 4.3 ms/layer, traced.)"""
     x, s_src, s_dst, graph = res
     g_agg, g_rs = cts
     n, c = x.shape
     h = s_src.shape[1]
     dt = x.dtype
 
-    # wide row-gather block: [g_agg | g_rs | s_src]  (N, H*C + 2H)
+    # wide row-gather block in col-sorted order: rows via precomputed
+    # row_cs = row[col_order]
     gm = jnp.concatenate([g_agg.astype(dt).reshape(n, h * c),
                           g_rs.astype(dt), s_src.astype(dt)], axis=1)
-    ge = gm[graph.row]                                     # (E, HC+2H)
+    # barrier: both d_e and d_xc consume ge — without it XLA duplicates
+    # the (E, 604) gather into each consumer (traced: two 1.2 ms copies)
+    ge = jax.lax.optimization_barrier(gm[graph.row_cs])    # (E, HC+2H)
     xg, c_pad = _build_xg(x, s_dst)
-    xgc = xg[graph.col]                                    # (E, c_pad)
+    xgc = jax.lax.optimization_barrier(xg[graph.col_sorted])  # (E, c_pad)
 
     score = (ge[:, h * c + h:h * c + 2 * h].astype(jnp.float32)
              + xgc[:, c:c + h].astype(jnp.float32))        # (E, H)
-    mask = graph.mask
-    e = jnp.where(mask[:, None], jnp.exp(-_leaky(score)), 0.0)
+    mask_cs = graph.mask_cs
+    e = jnp.where(mask_cs[:, None], jnp.exp(-_leaky(score)), 0.0)
 
     xc_feat = xgc[:, :c]
     d_e_parts = []
@@ -132,21 +143,20 @@ def _bwd(res, cts):
     g_rs_e = ge[:, h * c:h * c + h].astype(jnp.float32)
     d_e = jnp.stack(d_e_parts, axis=1) + g_rs_e            # (E, H)
     dleaky = jnp.where(score > 0, 1.0, 0.2)
-    d_score = jnp.where(mask[:, None], -d_e * e * dleaky, 0.0)
+    d_score = jnp.where(mask_cs[:, None], -d_e * e * dleaky, 0.0)
 
-    # ONE packed col reduce: [d_xc | d_score] -> (d_x, d_s_dst)
-    packed = jnp.zeros((ge.shape[0], c_pad), dt)
-    packed = packed.at[:, :c].set(d_xc)
-    packed = packed.at[:, c:c + h].set(d_score.astype(dt))
-    order = graph.col_order
-    red = _reduce_rows(packed[order], graph.col[order], graph, use_row=False)
+    # ONE packed col reduce, already col-sorted: [d_xc | d_score]
+    packed = jnp.concatenate(
+        [d_xc, d_score.astype(dt),
+         jnp.zeros((ge.shape[0], c_pad - c - h), dt)], axis=1)
+    red = _reduce_rows(packed, graph.col_sorted, graph, use_row=False)
     d_x = red[:, :c].astype(x.dtype)
     d_s_dst = red[:, c:c + h].astype(s_dst.dtype)
 
-    # ONE row reduce for d_s_src
-    dsp = jnp.zeros((ge.shape[0], 128), dt)
-    dsp = dsp.at[:, :h].set(d_score.astype(dt))
-    d_s_src = _reduce_rows(dsp, graph.row, graph,
+    # narrow d_score back to row order for the d_s_src row reduce
+    dsp = jnp.pad(d_score.astype(dt), ((0, 0), (0, 128 - h)))
+    dsp_rs = dsp[graph.inv_col_order]
+    d_s_src = _reduce_rows(dsp_rs, graph.row, graph,
                            use_row=True)[:, :h].astype(s_src.dtype)
 
     return d_x, d_s_src, d_s_dst, _graph_zeros(graph)

@@ -165,9 +165,9 @@ def tile_weighted_segment_sum(
     c_pad = _round_up(c_in, 128)
     if c_pad != c_in:
         xc = jnp.pad(xc, ((0, 0), (0, c_pad - c_in)))
-    # compute dtype follows the caller (bf16 production, f32 parity mode)
-    e_wide = jnp.zeros((e_pad, E_LANES), xc.dtype)
-    e_wide = e_wide.at[:, :h].set(e.astype(xc.dtype))
+    # compute dtype follows the caller (bf16 production, f32 parity mode);
+    # single pad fusion (zeros + .at[].set() costs a full extra DUS pass)
+    e_wide = jnp.pad(e.astype(xc.dtype), ((0, 0), (0, E_LANES - h)))
     # (n_chunks, CHUNK//128, 128): TPU block shapes need the last two dims
     # (8k, 128)-aligned or full — a flat (1, CHUNK) block is rejected
     row_mat = row_sorted.astype(jnp.int32).reshape(
