@@ -60,12 +60,31 @@ class BertSelfAttention(nn.Module):
             return x.reshape(N, M, H, dh).transpose(0, 2, 1, 3)
 
         q, k, v = split(q), split(k), split(v)
-        scores = jnp.einsum("nhqd,nhkd->nhqk", q, k,
-                            preferred_element_type=jnp.float32) / np.sqrt(dh)
-        probs = jax.nn.softmax(scores, axis=-1)
-        probs_dropped = nn.Dropout(0.1)(probs, deterministic=deterministic)
-        ctx = jnp.einsum("nhqk,nhkd->nhqd", probs_dropped.astype(v.dtype), v,
-                         preferred_element_type=jnp.float32)
+        if M <= 6:
+            # tiny token axis: batched (M x M) matmuls lower to convolutions
+            # with terrible MXU utilisation (traced); unrolled
+            # multiply-reduce runs on the VPU at memory speed
+            scale = 1.0 / np.sqrt(dh)
+            scores = jnp.stack(
+                [jnp.stack(
+                    [(q[:, :, qi, :].astype(jnp.float32)
+                      * k[:, :, ki, :].astype(jnp.float32)).sum(-1) * scale
+                     for ki in range(M)], axis=-1)
+                 for qi in range(M)], axis=-2)              # (N, H, M, M)
+            probs = jax.nn.softmax(scores, axis=-1)
+            pd = nn.Dropout(0.1)(probs, deterministic=deterministic)
+            pdv = pd.astype(v.dtype)
+            ctx = jnp.stack(
+                [sum(pdv[:, :, qi, ki, None] * v[:, :, ki, :]
+                     for ki in range(M))
+                 for qi in range(M)], axis=2)               # (N, H, M, dh)
+        else:
+            scores = jnp.einsum("nhqd,nhkd->nhqk", q, k,
+                                preferred_element_type=jnp.float32) / np.sqrt(dh)
+            probs = jax.nn.softmax(scores, axis=-1)
+            probs_dropped = nn.Dropout(0.1)(probs, deterministic=deterministic)
+            ctx = jnp.einsum("nhqk,nhkd->nhqd", probs_dropped.astype(v.dtype),
+                             v, preferred_element_type=jnp.float32)
         ctx = ctx.transpose(0, 2, 1, 3).reshape(N, M, d)
         return ctx, probs
 

@@ -42,9 +42,13 @@ class GraphConvolution(nn.Module):
                        (self.in_features, self.out_features))
         support = jnp.dot(x.astype(self.dtype), w.astype(self.dtype),
                           preferred_element_type=jnp.float32)
-        vals = (graph.w[:, None].astype(jnp.float32)
-                * edge_gather_col(support, graph))
-        out = segment_reduce_sorted(vals, graph)
+        # adjacency-weighted aggregation through the row-tile kernel
+        # (same primitive as the GAT; the edge weight is the normalized
+        # adjacency value) — scatter-free forward AND backward
+        from snag_tpu.ops.gat_agg import gat_aggregate
+        agg, _ = gat_aggregate(support.astype(self.dtype),
+                               graph.w[:, None].astype(self.dtype), graph)
+        out = agg[:, 0, :].astype(jnp.float32)
         if self.use_bias:
             b = self.param("bias", inits.uniform_stdv(stdv), (self.out_features,))
             out = out + b
