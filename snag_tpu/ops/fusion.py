@@ -105,7 +105,12 @@ class BertLayer(nn.Module):
                 hidden, deterministic=deterministic)
         ctx = _tdense(self.hidden_size, self.hidden_size, "att_out", self.dtype)(ctx)
         ctx = nn.Dropout(0.1)(ctx, deterministic=deterministic)
-        attention_output = nn.LayerNorm(epsilon=1e-12, name="att_ln")(ctx + hidden)
+        # dtype: keep the (N, M, d) chain in the compute dtype — an
+        # unspecified LayerNorm dtype promotes everything downstream to
+        # f32, doubling the per-pass HBM traffic (statistics still
+        # accumulate in f32 inside flax)
+        attention_output = nn.LayerNorm(epsilon=1e-12, name="att_ln",
+                                        dtype=self.dtype)(ctx + hidden)
 
         if not self.use_intermediate:
             return attention_output, probs
@@ -116,7 +121,8 @@ class BertLayer(nn.Module):
         out = _tdense(self.hidden_size, self.intermediate_size,
                       "output", self.dtype)(inter)
         out = nn.Dropout(0.1)(out, deterministic=deterministic)
-        out = nn.LayerNorm(epsilon=1e-12, name="out_ln")(out + attention_output)
+        out = nn.LayerNorm(epsilon=1e-12, name="out_ln",
+                           dtype=self.dtype)(out + attention_output)
         return out, probs
 
 
@@ -145,7 +151,9 @@ class MformerFusion(nn.Module):
                  deterministic: bool = True):
         active = [e for e in embs if e is not None]
         modal_num = len(active)
-        hidden = jnp.stack(active, axis=1)  # (N, M, d)
+        # compute dtype for the transformer stack (the GAT branch arrives
+        # f32; mixing would promote every (N, M, d) pass to f32)
+        hidden = jnp.stack([e.astype(self.dtype) for e in active], axis=1)
 
         probs = None
         for i in range(self.num_layers):
