@@ -132,8 +132,9 @@ def main():
     full_rank_eval(joint[tl], joint[tr], use_csls=True, csls_k=3)
     eval_ms = (time.perf_counter() - t0) * 1000
 
-    # MKGC triples/sec/chip at DB15K geometry (BASELINE.json headline)
-    mkgc_tps = _bench_mkgc()
+    # MKGC triples/sec/chip + filtered-LP eval latency at DB15K geometry
+    # (the BASELINE.json headline pair)
+    mkgc_tps, mkgc_eval_ms = _bench_mkgc()
 
     # Reference epoch = ceil(4500/3500) = 2 steps on DBP15K with data_rate
     # 0.3; report step throughput as the headline.
@@ -154,14 +155,15 @@ def main():
             "batch_size": b,
             "dtype": cfg.dtype,
             "mkgc_triples_per_sec": mkgc_tps,
+            "mkgc_filtered_eval_ms": mkgc_eval_ms,
             "device": str(jax.devices()[0]),
         },
     }))
 
 
-def _bench_mkgc() -> float:
-    """MKGC margin-ranking step throughput at DB15K geometry
-    (~12.8K entities, emb 128, neg 32, batch ~size of 1/1024 of train)."""
+def _bench_mkgc():
+    """MKGC margin-ranking throughput + filtered link-prediction eval
+    latency at DB15K geometry (~12.8K entities, emb 128, neg 32)."""
     from snag_tpu.mkgc.config import MKGCConfig
     from snag_tpu.mkgc.data import load_mkgc_data
     from snag_tpu.mkgc.train import MKGCRunner
@@ -182,7 +184,14 @@ def _bench_mkgc() -> float:
         runner.train_epoch(e)
     dt = time.perf_counter() - t0
     triples = (len(runner.data.train) // runner.batch_size) * runner.batch_size
-    return round(n_epochs * triples / dt, 1)
+    tps = round(n_epochs * triples / dt, 1)
+
+    # filtered full-entity ranking over the valid split (both directions)
+    runner.evaluate("valid")                      # compile
+    t0 = time.perf_counter()
+    runner.evaluate("valid")
+    eval_ms = round((time.perf_counter() - t0) * 1000, 1)
+    return tps, eval_ms
 
 
 if __name__ == "__main__":
