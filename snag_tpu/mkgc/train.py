@@ -229,8 +229,15 @@ def _padded_filters(data: MKGCData, triples: np.ndarray, direction: str):
 
 
 def filtered_ranks(cfg: MKGCConfig, model, params, feats, data: MKGCData,
-                   triples: np.ndarray, chunk: int = 256, score_fns=None):
-    """Filtered link-prediction ranks for both directions."""
+                   triples: np.ndarray, chunk: int = 256, score_fns=None,
+                   filter_cache: dict = None):
+    """Filtered link-prediction ranks for both directions.
+
+    ``filter_cache``: optional dict holding the padded filter arrays per
+    direction — they depend only on (data, triples), so callers evaluating
+    the same split repeatedly (early-stopping cadence) should pass a
+    per-split dict to skip the host-side filter construction (~2|T| python
+    iterations per eval otherwise)."""
     all_embs, tail_ranks, head_ranks = (score_fns if score_fns is not None
                                         else make_score_fn(model))
     jh, jt = all_embs(params, feats)
@@ -238,7 +245,12 @@ def filtered_ranks(cfg: MKGCConfig, model, params, feats, data: MKGCData,
     ranks = []
     for direction in ("tail", "head"):
         rank_fn = tail_ranks if direction == "tail" else head_ranks
-        filt_all, mask_all = _padded_filters(data, triples, direction)
+        if filter_cache is not None and direction in filter_cache:
+            filt_all, mask_all = filter_cache[direction]
+        else:
+            filt_all, mask_all = _padded_filters(data, triples, direction)
+            if filter_cache is not None:
+                filter_cache[direction] = (filt_all, mask_all)
         for i in range(0, len(triples), chunk):
             part = triples[i:i + chunk]
             fpart, mpart = filt_all[i:i + chunk], mask_all[i:i + chunk]
@@ -346,6 +358,7 @@ class MKGCRunner:
             logger.info(f"mesh batch_size: {self.batch_size}")
         self._score_fns = make_score_fn(self.model)
         self._train_dev = None      # resident device triple table
+        self._filter_caches = {}    # per-split padded filter arrays
         self.best_mrr = 0.0
         self.best_params = None
         self.bad_evals = 0
@@ -375,9 +388,10 @@ class MKGCRunner:
         triples = getattr(self.data, split)
         if split == "valid" and len(triples) > self.cfg.valid_max:
             triples = triples[:self.cfg.valid_max]
+        cache = self._filter_caches.setdefault(split, {})
         ranks = filtered_ranks(self.cfg, self.model, self.state.params,
                                self.feats, self.data, triples,
-                               score_fns=self._score_fns)
+                               score_fns=self._score_fns, filter_cache=cache)
         return summarize_lp(ranks)
 
     def run(self):
