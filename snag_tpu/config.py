@@ -153,6 +153,7 @@ class Config:
     profile_dir: str = ""            # jax.profiler trace output, "" = off
     log_every: int = 50
     remat: int = 0                   # rematerialize GNN activations (memory)
+    fused_mformer: int = 1           # fused Pallas BertLayer kernel (TPU, H=1)
     checkpoint_every: int = 0        # save full train-state every N epochs
     resume_from: str = ""            # checkpoint path to resume
     # synthetic-dataset knobs (data_choice == SYNTH)
@@ -295,6 +296,7 @@ def build_argparser() -> argparse.ArgumentParser:
     p.add_argument("--profile_dir", type=str, default=d.profile_dir)
     p.add_argument("--log_every", type=int, default=d.log_every)
     p.add_argument("--remat", type=int, default=d.remat)
+    p.add_argument("--fused_mformer", type=int, default=d.fused_mformer)
     p.add_argument("--checkpoint_every", type=int, default=d.checkpoint_every)
     p.add_argument("--resume_from", type=str, default=d.resume_from)
     p.add_argument("--synth_ents", type=int, default=d.synth_ents)

@@ -91,15 +91,49 @@ class BertSelfAttention(nn.Module):
 
 class BertLayer(nn.Module):
     """Attention + residual LN (+ optional GELU intermediate) block
-    (SNAG_tools.py:268-298); LN eps 1e-12, dropouts 0.1."""
+    (SNAG_tools.py:268-298); LN eps 1e-12, dropouts 0.1.
+
+    On TPU with a single head and <=6 modality tokens, the whole layer
+    runs as ONE fused Pallas launch per direction (forward and backward)
+    — see ops/fused_bert.py / ops/pallas/mformer_kernel.py.  The flax
+    parameter tree is identical in both branches.
+    """
     hidden_size: int
     num_heads: int
     intermediate_size: int
     use_intermediate: bool = True
     dtype: jnp.dtype = jnp.float32
+    fused: bool = True
 
     @nn.compact
     def __call__(self, hidden, *, deterministic: bool = True):
+        from snag_tpu.ops import fused_bert as fb
+        N, M, d = hidden.shape
+        if self.fused and fb.fused_available(self.num_heads, M):
+            (wq, bq), (wk, bk), (wv, bv) = fb.SelfAttnParams(
+                d, name="self")()
+            wo, bo = fb.LinParams(d, d, name="att_out")()
+            g1, be1 = fb.LNParams(d, name="att_ln")()
+            raws = [wq, bq, wk, bk, wv, bv, wo, bo, g1, be1]
+            if self.use_intermediate:
+                wi, bi = fb.LinParams(d, self.intermediate_size,
+                                      name="intermediate")()
+                wo2, bo2 = fb.LinParams(self.intermediate_size, d,
+                                        name="output")()
+                g2, be2 = fb.LNParams(d, name="out_ln")()
+                raws += [wi, bi, wo2, bo2, g2, be2]
+            training = not deterministic
+            if training:
+                key = self.make_rng("dropout")
+                seed = jax.random.randint(key, (), 0, np.int32(2 ** 31 - 1),
+                                          dtype=jnp.int32)
+            else:
+                seed = jnp.zeros((), jnp.int32)
+            out, probs = fb.fused_bert_layer(
+                hidden, tuple(raws), seed, M, d, self.intermediate_size,
+                bool(self.use_intermediate), training)
+            return out, probs[:, None, :, :]   # (N, H=1, M, M)
+
         ctx, probs = BertSelfAttention(
             self.hidden_size, self.num_heads, self.dtype, name="self")(
                 hidden, deterministic=deterministic)
@@ -145,6 +179,7 @@ class MformerFusion(nn.Module):
     use_intermediate: bool = True
     with_fz: bool = True
     dtype: jnp.dtype = jnp.float32
+    fused: bool = True
 
     @nn.compact
     def __call__(self, embs: List[Optional[jnp.ndarray]], *,
@@ -159,7 +194,8 @@ class MformerFusion(nn.Module):
         for i in range(self.num_layers):
             hidden, probs = BertLayer(
                 self.hidden_size, self.num_heads, self.intermediate_size,
-                self.use_intermediate, self.dtype, name=f"layer_{i}")(
+                self.use_intermediate, self.dtype, fused=self.fused,
+                name=f"layer_{i}")(
                     hidden, deterministic=deterministic)
 
         # attention-derived per-entity modality weights (pre-dropout probs)
