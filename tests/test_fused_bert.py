@@ -84,3 +84,54 @@ def test_fused_layer_training_mode_runs_and_grads_flow():
     assert np.isfinite(float(v))
     for leaf in jax.tree_util.tree_leaves(g):
         assert np.isfinite(np.asarray(leaf)).all()
+
+
+def test_fused_full_snag_model_matches_eager():
+    """Whole SNAG model: fused Mformer branch vs eager — identical loss
+    and grads on the same params (deterministic, CPU interpret)."""
+    import dataclasses
+    from snag_tpu.config import Config, finalize_config
+    from snag_tpu.data.dataset import load_data
+    from snag_tpu.models import build_model
+    from snag_tpu.models.encoder import prepare_features
+
+    base = Config(data_choice="SYNTH", model_name="SNAG", batch_size=16,
+                  hidden_units="32,32,32", heads="2,2", attr_dim=32,
+                  img_dim=32, name_dim=32, char_dim=32, hidden_size=32,
+                  intermediate_size=48, num_attention_heads=1,
+                  num_hidden_layers=1, use_surface=0, inner_view_num=4,
+                  random_seed=11, synth_ents=150, synth_triples=500,
+                  synth_img_dim=24, exp_name="t", data_rate=0.3)
+    base = finalize_config(base, data_root="/tmp/snag_fused_test")
+    data = load_data(base)
+    feats = prepare_features(base, data)
+    graph = data.graph
+    links = jnp.asarray(data.train_ill[:16].astype(np.int64))
+    valid = jnp.ones((links.shape[0],), bool)
+
+    def run(fused_flag):
+        cfg = dataclasses.replace(base, fused_mformer=fused_flag)
+        model = build_model(cfg, data)
+        def f(p):
+            loss, _ = model.apply({"params": p}, links, valid, feats, graph,
+                                  deterministic=True)
+            return loss
+        return model, f
+
+    m0, f0 = run(0)
+    params = m0.init({"params": jax.random.PRNGKey(0)}, links, valid,
+                     feats, graph, deterministic=True)["params"]
+    with mock.patch.object(pl, "pallas_call", _interp), \
+            mock.patch.object(tsg, "pallas_available", lambda: True):
+        m1, f1 = run(1)
+        p1 = m1.init({"params": jax.random.PRNGKey(0)}, links, valid,
+                     feats, graph, deterministic=True)["params"]
+        assert (jax.tree_util.tree_structure(params)
+                == jax.tree_util.tree_structure(p1))
+        v0, g0 = jax.value_and_grad(f0)(params)
+        v1, g1 = jax.value_and_grad(f1)(params)
+    np.testing.assert_allclose(float(v0), float(v1), rtol=1e-5)
+    for a, b in zip(jax.tree_util.tree_leaves(g0),
+                    jax.tree_util.tree_leaves(g1)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=5e-4, atol=5e-4)
