@@ -23,7 +23,7 @@ Numerical layout notes:
 from __future__ import annotations
 
 import functools
-from typing import Optional, Tuple
+from typing import Tuple
 
 import jax
 import jax.numpy as jnp
@@ -187,14 +187,6 @@ def _layer_core(hidden, params, m, d, d_pad, i_pad, inter_d, use_inter,
                 amask=amask, xhat1=xhat1, rstd1=rstd1, ln1=ln1,
                 pre=pre, inter=inter, fmask=fmask, xhat2=xhat2,
                 rstd2=rstd2, out=ln2)
-
-
-def _unpack_params(refs, use_inter):
-    names = ["wq", "bq", "wk", "bk", "wv", "bv", "wo", "bo", "g1", "be1"]
-    if use_inter:
-        names += ["wi", "bi", "wo2", "bo2", "g2", "be2"]
-    return {n: refs[i][...] if refs[i].ndim == 2 else refs[i][...]
-            for i, n in enumerate(names)}, len(names)
 
 
 def _fwd_kernel(seed_ref, hid_ref, *rest, m, d, d_pad, i_pad, inter_d,
