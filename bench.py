@@ -127,21 +127,50 @@ def main():
     n_test = min(10500, len(data.test_ill))
     tl = jnp.asarray(data.test_ill[:n_test, 0].astype(np.int64))
     tr = jnp.asarray(data.test_ill[:n_test, 1].astype(np.int64))
-    full_rank_eval(joint[tl], joint[tr], use_csls=True, csls_k=3)  # compile
     # measure with a perturbed input per repeat — identical-args repeat
     # dispatches through the axon tunnel give invalid timings (memory:
-    # axon-timing-artifacts); full_rank_eval host-syncs internally so each
-    # call is a complete device round
+    # axon-timing-artifacts).  The perturbed copies are materialized
+    # BEFORE the timed loop: the eager gather+add ops cost ~1s/rep through
+    # the tunnel and polluted the round-2 reading (259 vs 88 ms).
     n_rep = 3
+    el, er = joint[tl], joint[tr]
+    perturb = jax.jit(lambda e, c: e + c)
+    els = [jax.block_until_ready(perturb(el, jnp.float32(i * 1e-7)))
+           for i in range(n_rep + 1)]
+    full_rank_eval(els[0], er, use_csls=True, csls_k=3)  # compile
     t0 = time.perf_counter()
     for i in range(1, n_rep + 1):
-        full_rank_eval(joint[tl] + jnp.float32(i * 1e-7), joint[tr],
-                       use_csls=True, csls_k=3)
+        full_rank_eval(els[i], er, use_csls=True, csls_k=3)
     eval_ms = (time.perf_counter() - t0) * 1000 / n_rep
 
+    # device-side eval latency, dispatch-free: K dependent repeats chained
+    # in one lax.scan program (the streaming rank kernels are jit-safe)
+    from snag_tpu.ops.pallas.rank_eval import rank_eval_ok, \
+        streaming_rank_eval
+    eval_dev_ms = None
+    if rank_eval_ok():
+        k_rep = 20
+
+        @jax.jit
+        def eval_chain(el, er):
+            def body(carry, i):
+                ra, rb, _ = streaming_rank_eval(el + carry * 1e-9, er,
+                                                3, True, False)
+                return (ra.sum() + rb.sum()).astype(jnp.float32) * 1e-9, None
+            out, _ = jax.lax.scan(body, jnp.float32(0), jnp.arange(k_rep))
+            return out
+        jax.block_until_ready(eval_chain(el, er))
+        t0 = time.perf_counter()
+        jax.block_until_ready(eval_chain(el, er))
+        eval_dev_ms = round((time.perf_counter() - t0) / k_rep * 1000, 2)
+
     # MKGC triples/sec/chip + filtered-LP eval latency at DB15K geometry
-    # (the BASELINE.json headline pair)
-    mkgc_tps, mkgc_eval_ms = _bench_mkgc()
+    # (the BASELINE.json headline pair); measured at BOTH the throughput
+    # geometry (num_batch=64) and the reference readme's canonical contract
+    # (NUM_BATCH=1024, MARGIN=12 — SNAG_MKGC/readme.md:38-48)
+    mkgc_tps, mkgc_eval_ms = _bench_mkgc(num_batch=64, margin=1.0)
+    mkgc_tps_canon, _ = _bench_mkgc(num_batch=1024, margin=12.0,
+                                    skip_eval=True)
 
     # Reference epoch = ceil(4500/3500) = 2 steps on DBP15K with data_rate
     # 0.3; report step throughput as the headline.
@@ -154,6 +183,7 @@ def main():
             "step_ms": round(1000 / steps_per_sec, 2),
             "epoch_ms": round(epoch_ms, 2),
             "full_rank_eval_ms": round(eval_ms, 2),
+            "full_rank_eval_device_ms": eval_dev_ms,
             "vs_baseline_denominator": "torch-CPU reference epoch, measured"
                                        " (BASELINE.md); no reference GPU in"
                                        " this environment",
@@ -162,13 +192,14 @@ def main():
             "batch_size": b,
             "dtype": cfg.dtype,
             "mkgc_triples_per_sec": mkgc_tps,
+            "mkgc_triples_per_sec_canonical": mkgc_tps_canon,
             "mkgc_filtered_eval_ms": mkgc_eval_ms,
             "device": str(jax.devices()[0]),
         },
     }))
 
 
-def _bench_mkgc():
+def _bench_mkgc(num_batch=64, margin=1.0, skip_eval=False):
     """MKGC margin-ranking throughput + filtered link-prediction eval
     latency at DB15K geometry (~12.8K entities, emb 128, neg 32)."""
     from snag_tpu.mkgc.config import MKGCConfig
@@ -176,8 +207,8 @@ def _bench_mkgc():
     from snag_tpu.mkgc.train import MKGCRunner
     from snag_tpu.utils.logging import create_logger
 
-    cfg = MKGCConfig(data_choice="SYNTH", emb_dim=128, num_batch=64,
-                     neg_num=32, margin=1.0, joint_way="Mformer_hd_graph",
+    cfg = MKGCConfig(data_choice="SYNTH", emb_dim=128, num_batch=num_batch,
+                     neg_num=32, margin=margin, joint_way="Mformer_hd_graph",
                      num_proj=2, add_noise=1, noise_ratio=0.2, mask_ratio=0.7,
                      use_pool=1, pool_dim=256, num_hidden_layers=1,
                      num_attention_heads=2, synth_ents=12800, synth_rels=256,
@@ -192,6 +223,8 @@ def _bench_mkgc():
     dt = time.perf_counter() - t0
     triples = (len(runner.data.train) // runner.batch_size) * runner.batch_size
     tps = round(n_epochs * triples / dt, 1)
+    if skip_eval:
+        return tps, None
 
     # filtered full-entity ranking over the valid split (both directions)
     runner.evaluate("valid")                      # compile

@@ -106,7 +106,9 @@ def _eval_core(emb_l, emb_r, csls_k: int, use_csls: bool,
     top3 = None
     if with_top3:
         _, top3 = topk_rowwise(-distance, 3)
-    return distance, ranks_l2r, ranks_r2l, top3
+    # None, not the matrix: returning it would force a persistent (N, N)
+    # output buffer the callers never read
+    return None, ranks_l2r, ranks_r2l, top3
 
 
 # above this many test pairs the full (N, N) distance matrix would exceed a
@@ -188,7 +190,16 @@ def full_rank_eval(emb_l, emb_r, top_k=(1, 10, 50), csls_k: int = 10,
     results match the full-matrix path up to fp rounding (different matmul
     tilings), which can flip exact ties by one rank position.
     """
-    if emb_l.shape[0] > FULL_MATRIX_MAX and distance_kind == 2:
+    from snag_tpu.ops.pallas.rank_eval import rank_eval_ok, \
+        streaming_rank_eval
+    if (distance_kind == 2 and emb_l.shape[0] == emb_r.shape[0]
+            and rank_eval_ok()):
+        # streaming tile kernels: O(N*d) HBM traffic, no (N, N) matrix,
+        # no size cap (ops/pallas/rank_eval.py)
+        ranks_l2r, ranks_r2l, top3 = streaming_rank_eval(
+            jnp.asarray(emb_l), jnp.asarray(emb_r), csls_k, use_csls,
+            with_top3)
+    elif emb_l.shape[0] > FULL_MATRIX_MAX and distance_kind == 2:
         ranks_l2r, top3 = _chunked_ranks_one_direction(
             emb_l, emb_r, csls_k, use_csls)
         ranks_r2l, _ = _chunked_ranks_one_direction(

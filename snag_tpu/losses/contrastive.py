@@ -49,11 +49,24 @@ def _icl_blocks(zis, zjs, tau, valid):
     aa = big[:, :b, :b] - eye * LARGE_NUM
     bb = big[:, b:, b:] - eye * LARGE_NUM
     if valid is not None:
+        # mask BOTH axes: the ab block is read row-wise by the a-direction
+        # and column-wise by the b-direction, so invalid pairs must vanish
+        # from the negative pool along either axis (the row mask only
+        # perturbs invalid rows, whose losses are zeroed by the vf factor)
         colmask = jnp.where(valid[None, None, :], 0.0, -LARGE_NUM)
-        ab = ab + colmask
-        aa = aa + colmask
-        bb = bb + colmask
+        rowmask = jnp.where(valid[None, :, None], 0.0, -LARGE_NUM)
+        ab = ab + colmask + rowmask
+        aa = aa + colmask + rowmask
+        bb = bb + colmask + rowmask
     return ab, aa, bb
+
+
+def _use_streaming(zis) -> bool:
+    """Static dispatch to the flash-style Pallas path (TPU, or interpret
+    mode under test); the dense block formulation is the fallback."""
+    from snag_tpu.ops.pallas import ntxent_kernel as nk
+    m, b, d = zis.shape
+    return nk.streaming_ok(b, d)
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5))
@@ -82,8 +95,22 @@ def _per_row(zis, zjs, tau, valid):
     return (lse_a - diag), (lse_b - diag)                       # (M, B) each
 
 
+def _pos_diag(zis, zjs, tau):
+    """Positive-pair similarities: pos[m, i] = zis_i . zjs_i / tau."""
+    return jnp.einsum("mbd,mbd->mb", zis, zjs,
+                      preferred_element_type=jnp.float32) / tau
+
+
 def _icl_xb_fwd(zis, zjs, w_min, valid, tau, ab_weight):
-    per_a, per_b = _per_row(zis, zjs, tau, valid)
+    if _use_streaming(zis):
+        from snag_tpu.ops.pallas.ntxent_kernel import streaming_lse
+        lse_a, lse_b = streaming_lse(zis, zjs, tau, valid)
+        pos = _pos_diag(zis, zjs, tau)
+        # invalid rows get a finite per-row value here (the dense path's
+        # is ~1e9); both are zeroed by the vf factor below
+        per_a, per_b = lse_a - pos, lse_b - pos
+    else:
+        per_a, per_b = _per_row(zis, zjs, tau, valid)
     if valid is not None:
         vf = valid.astype(jnp.float32)
         denom = jnp.maximum(vf.sum(), 1.0)
@@ -99,6 +126,25 @@ def _icl_xb_fwd(zis, zjs, w_min, valid, tau, ab_weight):
 def _icl_xb_bwd(tau, ab_weight, res, g):
     zis, zjs, w_min, valid, per_a, per_b, vf, denom = res
     m, b, _ = zis.shape
+
+    if _use_streaming(zis):
+        from snag_tpu.ops.pallas.ntxent_kernel import streaming_ntxent_grad
+        pos = _pos_diag(zis, zjs, tau)
+        w = vf[None, :] if w_min is None else w_min * vf[None, :]
+        ca = (g[:, None] * ab_weight) * w / denom                # (M, B)
+        cb = (g[:, None] * (1 - ab_weight)) * w / denom
+        d_zis, d_zjs = streaming_ntxent_grad(
+            zis, zjs, per_a + pos, per_b + pos, ca, cb, tau, valid)
+        if w_min is None:
+            d_w = None
+        else:
+            base = (ab_weight * per_a + (1 - ab_weight) * per_b) * vf[None, :]
+            d_w = g[:, None] * base / denom
+        d_valid = (None if valid is None
+                   else np.zeros(valid.shape, dtype=jax.dtypes.float0))
+        return (d_zis.astype(zis.dtype), d_zjs.astype(zjs.dtype), d_w,
+                d_valid)
+
     ab, aa, bb = _icl_blocks(zis, zjs, tau, valid)   # recomputed, not stored
     diag = ab[:, jnp.arange(b), jnp.arange(b)]
     lse_a = per_a + diag

@@ -162,22 +162,18 @@ def make_mkgc_epoch_fn(cfg: MKGCConfig, model: MKGCModel, tx,
 
 
 def make_score_fn(model: MKGCModel):
-    """Jitted chunked filtered-rank evaluator, fully device-side.
+    """Jitted filtered-rank evaluator, fully device-side, ONE dispatch.
 
     Distances use the norms+matmul identity (transient is the (C, E) distance
     matrix, never the (C, E, d) broadcast difference), and the known-true
     filter (reference protocol: set filtered candidate scores to +inf before
     ranking) is applied as a gather + strict-count subtraction on padded
-    per-triple filter-id arrays — no per-triple host loop.
+    per-triple filter-id arrays — no per-triple host loop.  Both directions'
+    chunks run inside a single jit as ``lax.scan``s over resident chunked
+    triple/filter tables: the previous per-chunk python loop cost one tunnel
+    round-trip per 256 triples (~500 ms per eval at DB15K scale); this is
+    one round-trip total.
     """
-
-    @jax.jit
-    def all_embs(params, feats):
-        jh = model.apply({"params": params}, feats, role=0,
-                         method=MKGCModel.all_joint)
-        jt = model.apply({"params": params}, feats, role=1,
-                         method=MKGCModel.all_joint)
-        return jh, jt
 
     def _ranks(q, cand, gold, filt, filt_mask):
         # squared L2 is rank-equivalent to L2 (monotone); clamp for safety
@@ -192,17 +188,30 @@ def make_score_fn(model: MKGCModel):
         smaller_filt = ((filt_d < gold_d[:, None]) & filt_mask).sum(axis=1)
         return smaller_all - smaller_filt + 1
 
-    @jax.jit
-    def tail_ranks(params, jh, jt, triples, filt, filt_mask):
-        r = params["rel_emb"][triples[:, 1]]
-        return _ranks(jh[triples[:, 0]] + r, jt, triples[:, 2], filt, filt_mask)
+    def _scan_dir(params, jh, jt, trip_c, filt_c, mask_c, head: bool):
+        def body(_, args):
+            trip, filt, msk = args
+            r = params["rel_emb"][trip[:, 1]]
+            if head:
+                rk = _ranks(jt[trip[:, 2]] - r, jh, trip[:, 0], filt, msk)
+            else:
+                rk = _ranks(jh[trip[:, 0]] + r, jt, trip[:, 2], filt, msk)
+            return 0, rk
+        _, rks = jax.lax.scan(body, 0, (trip_c, filt_c, mask_c))
+        return rks.reshape(-1)
 
     @jax.jit
-    def head_ranks(params, jh, jt, triples, filt, filt_mask):
-        r = params["rel_emb"][triples[:, 1]]
-        return _ranks(jt[triples[:, 2]] - r, jh, triples[:, 0], filt, filt_mask)
+    def eval_ranks(params, feats, t_trip, t_filt, t_mask,
+                   h_trip, h_filt, h_mask):
+        jh = model.apply({"params": params}, feats, role=0,
+                         method=MKGCModel.all_joint)
+        jt = model.apply({"params": params}, feats, role=1,
+                         method=MKGCModel.all_joint)
+        rt = _scan_dir(params, jh, jt, t_trip, t_filt, t_mask, head=False)
+        rh = _scan_dir(params, jh, jt, h_trip, h_filt, h_mask, head=True)
+        return rt, rh
 
-    return all_embs, tail_ranks, head_ranks
+    return eval_ranks
 
 
 def _padded_filters(data: MKGCData, triples: np.ndarray, direction: str):
@@ -228,42 +237,44 @@ def _padded_filters(data: MKGCData, triples: np.ndarray, direction: str):
     return filt, mask
 
 
+def _to_chunks(arr: np.ndarray, chunk: int) -> np.ndarray:
+    """(T, ...) -> (S, chunk, ...), last row repeated into the padding."""
+    n = len(arr)
+    s = -(-n // chunk)
+    pad = s * chunk - n
+    if pad:
+        arr = np.concatenate([arr, np.tile(arr[-1:], (pad,) + (1,) *
+                                           (arr.ndim - 1))])
+    return arr.reshape((s, chunk) + arr.shape[1:])
+
+
 def filtered_ranks(cfg: MKGCConfig, model, params, feats, data: MKGCData,
                    triples: np.ndarray, chunk: int = 256, score_fns=None,
                    filter_cache: dict = None):
-    """Filtered link-prediction ranks for both directions.
+    """Filtered link-prediction ranks for both directions, one dispatch.
 
-    ``filter_cache``: optional dict holding the padded filter arrays per
-    direction — they depend only on (data, triples), so callers evaluating
-    the same split repeatedly (early-stopping cadence) should pass a
-    per-split dict to skip the host-side filter construction (~2|T| python
-    iterations per eval otherwise)."""
-    all_embs, tail_ranks, head_ranks = (score_fns if score_fns is not None
-                                        else make_score_fn(model))
-    jh, jt = all_embs(params, feats)
-
-    ranks = []
-    for direction in ("tail", "head"):
-        rank_fn = tail_ranks if direction == "tail" else head_ranks
-        if filter_cache is not None and direction in filter_cache:
-            filt_all, mask_all = filter_cache[direction]
-        else:
-            filt_all, mask_all = _padded_filters(data, triples, direction)
-            if filter_cache is not None:
-                filter_cache[direction] = (filt_all, mask_all)
-        for i in range(0, len(triples), chunk):
-            part = triples[i:i + chunk]
-            fpart, mpart = filt_all[i:i + chunk], mask_all[i:i + chunk]
-            n = len(part)
-            if n < chunk:
-                pad = chunk - n
-                part = np.vstack([part, np.tile(part[-1], (pad, 1))])
-                fpart = np.vstack([fpart, np.tile(fpart[-1], (pad, 1))])
-                mpart = np.vstack([mpart, np.tile(mpart[-1], (pad, 1))])
-            rk = rank_fn(params, jh, jt, jnp.asarray(part.astype(np.int32)),
-                         jnp.asarray(fpart), jnp.asarray(mpart))
-            ranks.append(np.asarray(rk)[:n])
-    return np.concatenate(ranks)
+    Returns ranks ordered [tail..., head...].  ``filter_cache``: optional
+    dict holding the device-resident chunked triple/filter arrays — they
+    depend only on (data, triples), so callers evaluating the same split
+    repeatedly (early-stopping cadence) should pass a per-split dict to
+    skip the host-side filter construction (~2|T| python iterations per
+    eval otherwise)."""
+    eval_ranks = score_fns if score_fns is not None else make_score_fn(model)
+    n = len(triples)
+    if filter_cache is not None and "packs" in filter_cache:
+        packs = filter_cache["packs"]
+    else:
+        packs = []
+        for direction in ("tail", "head"):
+            filt, mask = _padded_filters(data, triples, direction)
+            packs += [jnp.asarray(_to_chunks(triples.astype(np.int32), chunk)),
+                      jnp.asarray(_to_chunks(filt, chunk)),
+                      jnp.asarray(_to_chunks(mask, chunk))]
+        packs = tuple(packs)
+        if filter_cache is not None:
+            filter_cache["packs"] = packs
+    rt, rh = eval_ranks(params, feats, *packs)
+    return np.concatenate([np.asarray(rt)[:n], np.asarray(rh)[:n]])
 
 
 def summarize_lp(ranks: np.ndarray):

@@ -79,7 +79,8 @@ def test_streaming_icl_grads_match_autodiff():
         aa = big[:, :B, :B] - eye * LARGE
         bb = big[:, B:, B:] - eye * LARGE
         cm = jnp.where(valid[None, None, :], 0.0, -LARGE)
-        ab, aa, bb = ab + cm, aa + cm, bb + cm
+        rm = jnp.where(valid[None, :, None], 0.0, -LARGE)
+        ab, aa, bb = ab + cm + rm, aa + cm + rm, bb + cm + rm
         la = jnp.concatenate([ab, aa], axis=2)
         lb = jnp.concatenate([jnp.swapaxes(ab, 1, 2), bb], axis=2)
 
