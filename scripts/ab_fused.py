@@ -25,7 +25,13 @@ def chain_ms(jitted, *args):
 
 
 def main():
+    """Env overrides: AB_LAYERS / AB_HEADS / AB_SURFACE pick the geometry
+    (default = bench geometry)."""
+    import os
     jax.config.update("jax_default_prng_impl", "rbg")
+    n_layers = int(os.environ.get("AB_LAYERS", "1"))
+    n_heads = int(os.environ.get("AB_HEADS", "1"))
+    surface = int(os.environ.get("AB_SURFACE", "0"))
     from snag_tpu.config import Config, finalize_config
     from snag_tpu.data.dataset import load_data
     from snag_tpu.models import build_model
@@ -37,9 +43,10 @@ def main():
         data_choice="SYNTH", model_name="SNAG", batch_size=3500,
         lr=5e-4, hidden_units="300,300,300", heads="2,2",
         attr_dim=300, img_dim=300, name_dim=300, char_dim=300,
-        hidden_size=300, intermediate_size=400, num_attention_heads=1,
-        num_hidden_layers=1, structure_encoder="gat", scheduler="cos",
-        tau=0.1, tau2=4.0, use_surface=0, inner_view_num=4, add_noise=1,
+        hidden_size=300, intermediate_size=400, num_attention_heads=n_heads,
+        num_hidden_layers=n_layers, structure_encoder="gat", scheduler="cos",
+        tau=0.1, tau2=4.0, use_surface=surface,
+        inner_view_num=6 if surface else 4, add_noise=1,
         noise_ratio=0.2, mask_ratio=0.7, random_seed=3408,
         synth_ents=30000, synth_rels=2000, synth_triples=150000,
         synth_img_dim=2048, exp_name="prof", data_rate=0.3,
@@ -90,7 +97,8 @@ def main():
             return d
 
         ms = chain_ms(run, params, nfeats, graph, links, valid, key0)
-        print(f"fused={fused}: model fwd+bwd {ms:8.2f} ms")
+        print(f"layers={n_layers} heads={n_heads} surface={surface} "
+              f"fused={fused}: model fwd+bwd {ms:8.2f} ms")
 
 
 if __name__ == "__main__":

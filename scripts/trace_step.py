@@ -75,7 +75,7 @@ def main():
     print("xplane files:", files)
     if not files:
         return
-    from tensorboard_plugin_profile.protobuf import xplane_pb2
+    from tensorflow.tsl.profiler.protobuf import xplane_pb2
     xs = xplane_pb2.XSpace()
     xs.ParseFromString(open(files[0], "rb").read())
     for plane in xs.planes:

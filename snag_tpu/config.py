@@ -153,7 +153,11 @@ class Config:
     profile_dir: str = ""            # jax.profiler trace output, "" = off
     log_every: int = 50
     remat: int = 0                   # rematerialize GNN activations (memory)
-    fused_mformer: int = 1           # fused Pallas BertLayer kernel (TPU, H=1)
+    # fused Pallas BertLayer kernel (TPU, H=1): correct and tested, but the
+    # bf16 unrolled-attention XLA path is equal-or-faster at every measured
+    # geometry (r3 A/B: 1L/1H 76.5 vs 74.4 ms, 2L/2H 93.7 vs 93.2 ms model
+    # fwd+bwd) — default OFF, opt in with --fused_mformer 1
+    fused_mformer: int = 0
     checkpoint_every: int = 0        # save full train-state every N epochs
     resume_from: str = ""            # checkpoint path to resume
     # synthetic-dataset knobs (data_choice == SYNTH)

@@ -112,7 +112,7 @@ def load_data(cfg: Config, logger: Optional[logging.Logger] = None) -> KGData:
 
 def _load_synthetic(cfg: Config, logger) -> KGData:
     (ills, triples, img_dict, ent_attrs, left_ents, right_ents,
-     kg1_triples, kg2_triples) = generate_synthetic_kg(
+     kg1_triples, kg2_triples, _names) = generate_synthetic_kg(
         n_ents=cfg.synth_ents, n_rels=cfg.synth_rels,
         n_triples=cfg.synth_triples, img_dim=cfg.synth_img_dim,
         seed=cfg.random_seed)

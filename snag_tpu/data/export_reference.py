@@ -40,12 +40,26 @@ def export_reference_format(dest: str,
                             n_rels: int = 40,
                             n_triples: int = 8000,
                             img_dim: int = 256,
-                            seed: int = 0) -> str:
-    """Write the synthetic KG under ``dest``; returns the split directory."""
-    ills, triples, img_dict, ent_attrs, left, right, kg1, kg2 = (
+                            seed: int = 0,
+                            noise: float = 0.3,
+                            mirror_p: float = 0.7,
+                            unalignable_frac: float = 0.0,
+                            with_surface: bool = False) -> str:
+    """Write the synthetic KG under ``dest``; returns the split directory.
+
+    ``noise``/``mirror_p``/``unalignable_frac`` select the hard parity
+    operating points (see synthetic.generate_synthetic_kg).  With
+    ``with_surface`` the export also writes the surface-modality inputs the
+    reference's load_word_char_features path reads (src/data.py:318-365):
+    DBP15K/translated_ent_name/dbp_<split>.json and a fake
+    embedding/glove.6B.300d.txt covering every name word, so the name/char
+    features both frameworks compute are identical (no missing-word random
+    fallback fires)."""
+    ills, triples, img_dict, ent_attrs, left, right, kg1, kg2, ent_names = (
         generate_synthetic_kg(n_ents=n_ents, n_rels=n_rels,
                               n_triples=n_triples, img_dim=img_dim,
-                              seed=seed))
+                              seed=seed, noise=noise, mirror_p=mirror_p,
+                              unalignable_frac=unalignable_frac))
     split_dir = osp.join(dest, data_choice, data_split)
     os.makedirs(split_dir, exist_ok=True)
     os.makedirs(osp.join(dest, "pkls"), exist_ok=True)
@@ -74,6 +88,24 @@ def export_reference_format(dest: str,
     with open(pkl_path, "wb") as f:
         pickle.dump({int(k): np.asarray(v, dtype=np.float32)
                      for k, v in img_dict.items()}, f)
+
+    if with_surface:
+        import json
+        name_dir = osp.join(dest, data_choice, "translated_ent_name")
+        os.makedirs(name_dir, exist_ok=True)
+        os.makedirs(osp.join(dest, "embedding"), exist_ok=True)
+        with open(osp.join(name_dir, f"dbp_{data_split}.json"), "w",
+                  encoding="utf-8") as f:
+            json.dump([[int(e), list(ws)]
+                       for e, ws in sorted(ent_names.items())], f)
+        # fake GloVe: one 300-d unit-ish vector per name word, deterministic
+        vocab = sorted({w.lower() for ws in ent_names.values() for w in ws})
+        wrng = np.random.default_rng(seed + 12345)
+        with open(osp.join(dest, "embedding", "glove.6B.300d.txt"), "w",
+                  encoding="utf-8") as f:
+            for w in vocab:
+                vec = wrng.normal(size=300) / np.sqrt(300)
+                f.write(w + " " + " ".join(f"{x:.6f}" for x in vec) + "\n")
     return split_dir
 
 
@@ -86,8 +118,15 @@ if __name__ == "__main__":
     p.add_argument("--n_triples", type=int, default=8000)
     p.add_argument("--img_dim", type=int, default=256)
     p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--noise", type=float, default=0.3)
+    p.add_argument("--mirror_p", type=float, default=0.7)
+    p.add_argument("--unalignable_frac", type=float, default=0.0)
+    p.add_argument("--with_surface", action="store_true")
     a = p.parse_args()
     d = export_reference_format(a.dest, n_ents=a.n_ents, n_rels=a.n_rels,
                                 n_triples=a.n_triples, img_dim=a.img_dim,
-                                seed=a.seed)
+                                seed=a.seed, noise=a.noise,
+                                mirror_p=a.mirror_p,
+                                unalignable_frac=a.unalignable_frac,
+                                with_surface=a.with_surface)
     print(f"exported to {d}")

@@ -21,11 +21,24 @@ def generate_synthetic_kg(
     seed: int = 0,
     latent_dim: int = 16,
     noise: float = 0.3,
+    mirror_p: float = 0.7,
+    unalignable_frac: float = 0.0,
 ):
-    """Returns (ills, triples, img_dict, ent_attrs, left_ents, right_ents).
+    """Returns (ills, triples, img_dict, ent_attrs, left_ents, right_ents,
+    kg1_triples, kg2_triples, ent_names).
 
     Entities [0, n1) form KG1, [n1, n) form KG2; pair (i, n1 + i) is aligned.
     ~10% of entities have no image (exercises the missing-image fill path).
+
+    Hard-mode knobs (the non-saturated parity-oracle operating points —
+    at the defaults the task converges to MRR ~1.0 where any roughly-correct
+    implementation passes):
+    * ``noise``: feature-noise scale on every modality view;
+    * ``mirror_p``: probability a KG1 triple is mirrored into KG2 (structure
+      signal strength);
+    * ``unalignable_frac``: fraction of test pairs whose right-side entity
+      gets an INDEPENDENT latent — no modality carries their alignment, so
+      achievable MRR is capped well below 1.
     """
     rng = np.random.default_rng(seed)
     n1 = n_ents // 2
@@ -33,10 +46,15 @@ def generate_synthetic_kg(
     n_pairs = min(n1, n2)
 
     latent = rng.normal(size=(n_pairs, latent_dim))
+    latent_r = latent.copy()
+    if unalignable_frac > 0:
+        k = int(n_pairs * unalignable_frac)
+        broken = rng.choice(n_pairs, size=k, replace=False)
+        latent_r[broken] = rng.normal(size=(k, latent_dim))
 
     def noisy_view(dim: int) -> np.ndarray:
         proj = rng.normal(size=(latent_dim, dim)) / np.sqrt(latent_dim)
-        both = np.concatenate([latent, latent], axis=0) @ proj
+        both = np.concatenate([latent, latent_r], axis=0) @ proj
         return both + noise * rng.normal(size=both.shape)
 
     img = noisy_view(img_dim)
@@ -51,14 +69,34 @@ def generate_synthetic_kg(
     ent_attrs: Dict[int, List[str]] = {}
     n_attr_names = 50
     attr_proj = rng.normal(size=(latent_dim, n_attr_names))
-    logits = latent @ attr_proj
+    logits_l = latent @ attr_proj
+    logits_r = latent_r @ attr_proj
     for k in range(2 * n_pairs):
         ent = k if k < n_pairs else n1 + (k - n_pairs)
-        row = logits[k % n_pairs]
+        row = (logits_l if k < n_pairs else logits_r)[k % n_pairs]
         chosen = np.argsort(-row)[:5]
         ent_attrs[ent] = [f"attr_{c}" for c in chosen]
 
-    # triples: correlated structure — if (h1, r, t1) in KG1, mirror in KG2 w.p. 0.7
+    # entity names: latent-bucketed word lists (surface-modality signal;
+    # every word lands in the exported fake GloVe so neither framework
+    # hits its missing-word random fallback — features stay comparable)
+    ent_names: Dict[int, List[str]] = {}
+    n_words = 60
+    name_proj = rng.normal(size=(latent_dim, n_words))
+    nlog_l = latent @ name_proj
+    nlog_r = latent_r @ name_proj
+    for ent in range(n_ents):
+        if ent < n1 and ent < n_pairs:
+            row = nlog_l[ent]
+        elif ent >= n1 and (ent - n1) < n_pairs:
+            row = nlog_r[ent - n1]
+        else:
+            row = rng.normal(size=(n_words,))
+        chosen = np.argsort(-row)[:3]
+        ent_names[ent] = [f"word{c:02d}" for c in chosen]
+
+    # triples: correlated structure — if (h1, r, t1) in KG1, mirror in KG2
+    # w.p. mirror_p
     triples: List[Tuple[int, int, int]] = []
     kg1_triples: List[Tuple[int, int, int]] = []
     while len(kg1_triples) < n_triples // 2:
@@ -69,7 +107,7 @@ def generate_synthetic_kg(
         kg1_triples.append((int(h), r, int(t)))
     kg2_triples: List[Tuple[int, int, int]] = []
     for h, r, t in kg1_triples:
-        if h < n_pairs and t < n_pairs and rng.random() < 0.7:
+        if h < n_pairs and t < n_pairs and rng.random() < mirror_p:
             kg2_triples.append((n1 + h, n_rels // 2 + r, n1 + t))
     while len(kg2_triples) < n_triples - len(kg1_triples):
         h, t = rng.integers(0, n2, size=2)
@@ -82,4 +120,5 @@ def generate_synthetic_kg(
     ills = [(i, n1 + i) for i in range(n_pairs)]
     left_ents = list(range(n1))
     right_ents = list(range(n1, n_ents))
-    return ills, triples, img_dict, ent_attrs, left_ents, right_ents, kg1_triples, kg2_triples
+    return (ills, triples, img_dict, ent_attrs, left_ents, right_ents,
+            kg1_triples, kg2_triples, ent_names)

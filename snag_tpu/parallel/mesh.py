@@ -28,15 +28,48 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 DATA_AXIS = "data"
 
 
+def discover_distributed_env(environ=None):
+    """(coordinator_address, num_processes, process_id) from the process
+    environment, or (None, None, None) for single-process runs.
+
+    Mirrors the reference's env-var/SLURM rank discovery
+    (src/distributed_utils.py:15-21: RANK/WORLD_SIZE, then SLURM_PROCID):
+    explicit JAX_* variables win, then torchrun-style RANK/WORLD_SIZE/
+    MASTER_ADDR/MASTER_PORT, then SLURM."""
+    import os
+    env = os.environ if environ is None else environ
+
+    addr = env.get("JAX_COORDINATOR_ADDRESS")
+    if addr:
+        n = env.get("JAX_NUM_PROCESSES")
+        pid = env.get("JAX_PROCESS_ID")
+        return (addr, int(n) if n else None, int(pid) if pid else None)
+
+    if "RANK" in env and "WORLD_SIZE" in env:
+        host = env.get("MASTER_ADDR", "127.0.0.1")
+        port = env.get("MASTER_PORT", "12355")
+        return (f"{host}:{port}", int(env["WORLD_SIZE"]), int(env["RANK"]))
+
+    if "SLURM_PROCID" in env and "SLURM_NTASKS" in env:
+        nodelist = env.get("SLURM_STEP_NODELIST", env.get("SLURM_NODELIST", ""))
+        head = nodelist.split(",")[0].split("[")[0] if nodelist else "127.0.0.1"
+        port = env.get("MASTER_PORT", "12355")
+        return (f"{head}:{port}", int(env["SLURM_NTASKS"]),
+                int(env["SLURM_PROCID"]))
+
+    return (None, None, None)
+
+
 def initialize_distributed(coordinator_address: Optional[str] = None,
                            num_processes: Optional[int] = None,
                            process_id: Optional[int] = None) -> None:
     """Multi-host entry (replaces distributed_utils.init_distributed_mode,
     reference src/distributed_utils.py:14-35): jax.distributed over DCN;
-    env-var discovery (JAX_COORDINATOR_ADDRESS / SLURM) when args omitted."""
-    import os
+    env-var discovery (JAX_* / torchrun RANK / SLURM) when args omitted."""
     if coordinator_address is None:
-        coordinator_address = os.environ.get("JAX_COORDINATOR_ADDRESS")
+        coordinator_address, env_n, env_pid = discover_distributed_env()
+        num_processes = num_processes if num_processes is not None else env_n
+        process_id = process_id if process_id is not None else env_pid
     if coordinator_address is None:
         return  # single process
     jax.distributed.initialize(coordinator_address=coordinator_address,

