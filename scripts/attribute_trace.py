@@ -119,6 +119,24 @@ def main():
         for (instr, opn), ps in sorted(unk.items(), key=lambda kv: -kv[1])[:20]:
             print(f"  {ps/1e9/3:7.2f}  {instr[:40]:40s} {opn}")
 
+        # drill into one stage: STAGE=gat_bwd python scripts/attribute_trace.py
+        import os
+        want = os.environ.get("STAGE")
+        if want:
+            per_op = {}
+            for ev in line.events:
+                nm = ev_meta.get(ev.metadata_id, "?")
+                instr = nm.split(" = ")[0].strip().lstrip("%")
+                op_name = metamap.get(instr, "")
+                if classify(op_name) != want:
+                    continue
+                per_op[(instr, op_name[:110])] = \
+                    per_op.get((instr, op_name[:110]), 0) + ev.duration_ps
+            print(f"== top ops in stage {want} ==")
+            for (instr, opn), ps in sorted(per_op.items(),
+                                           key=lambda kv: -kv[1])[:25]:
+                print(f"  {ps/1e9/3:7.2f}  {instr[:44]:44s} {opn}")
+
 
 if __name__ == "__main__":
     main()

@@ -158,6 +158,10 @@ class Config:
     # geometry (r3 A/B: 1L/1H 76.5 vs 74.4 ms, 2L/2H 93.7 vs 93.2 ms model
     # fwd+bwd) — default OFF, opt in with --fused_mformer 1
     fused_mformer: int = 0
+    # encode only the batch's entity rows in the train step (the graph
+    # encoder still runs full-graph; projections/fusion/losses run at
+    # (2B,...) instead of (N,...)) — gradient-identical to full encoding
+    batch_encode: int = 1
     checkpoint_every: int = 0        # save full train-state every N epochs
     resume_from: str = ""            # checkpoint path to resume
     # synthetic-dataset knobs (data_choice == SYNTH)
@@ -301,6 +305,7 @@ def build_argparser() -> argparse.ArgumentParser:
     p.add_argument("--log_every", type=int, default=d.log_every)
     p.add_argument("--remat", type=int, default=d.remat)
     p.add_argument("--fused_mformer", type=int, default=d.fused_mformer)
+    p.add_argument("--batch_encode", type=int, default=d.batch_encode)
     p.add_argument("--checkpoint_every", type=int, default=d.checkpoint_every)
     p.add_argument("--resume_from", type=str, default=d.resume_from)
     p.add_argument("--synth_ents", type=int, default=d.synth_ents)

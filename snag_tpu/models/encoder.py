@@ -132,8 +132,17 @@ class MultiModalEncoder(nn.Module):
 
     def modal_embeddings(self, feats: FeaturePack, graph: Graph,
                          entity_noise_key: Optional[jax.Array] = None,
-                         deterministic: bool = True):
-        """Per-modality embeddings before fusion (SNAG_tools.py:108-152)."""
+                         deterministic: bool = True,
+                         rows: Optional[jnp.ndarray] = None):
+        """Per-modality embeddings before fusion (SNAG_tools.py:108-152).
+
+        ``rows``: optional entity-id subset.  Only the graph encoder needs
+        the full entity set (cross-entity aggregation); the projections and
+        fusion are per-entity, so the train step passes its batch rows here
+        and everything downstream runs at (2B, ...) instead of (N, ...) —
+        a ~4x cut at DBP15K geometry.  The reference encodes all entities
+        every step (SNAG.py:166-181) only because nothing sliced earlier;
+        gradients are identical (non-batch rows carry zero cotangents)."""
         cfg = self.cfg
         if cfg.w_gcn:
             ent = self.entity_emb
@@ -141,13 +150,19 @@ class MultiModalEncoder(nn.Module):
                 ent = noise_ops.entity_noise(entity_noise_key, ent,
                                              cfg.noise_ratio, cfg.mask_ratio)
             gph = self.cross_graph_model(ent, graph, deterministic=deterministic)
+            if rows is not None:
+                gph = gph[rows]
         else:
             gph = None
-        img = self.img_fc(feats.img) if cfg.w_img else None
-        rel = self.rel_fc(feats.rel) if cfg.w_rel else None
-        att = self.att_fc(feats.att) if cfg.w_attr else None
-        name = self.name_fc(feats.name) if (cfg.w_name and feats.name is not None) else None
-        char = self.char_fc(feats.char) if (cfg.w_char and feats.char is not None) else None
+
+        def sel(t):
+            return t if rows is None else t[rows]
+
+        img = self.img_fc(sel(feats.img)) if cfg.w_img else None
+        rel = self.rel_fc(sel(feats.rel)) if cfg.w_rel else None
+        att = self.att_fc(sel(feats.att)) if cfg.w_attr else None
+        name = self.name_fc(sel(feats.name)) if (cfg.w_name and feats.name is not None) else None
+        char = self.char_fc(sel(feats.char)) if (cfg.w_char and feats.char is not None) else None
 
         if cfg.use_project_head:
             gph = self.gph_pro(gph, deterministic=deterministic) if gph is not None else None
@@ -158,9 +173,10 @@ class MultiModalEncoder(nn.Module):
 
     def __call__(self, feats: FeaturePack, graph: Graph,
                  entity_noise_key: Optional[jax.Array] = None,
-                 deterministic: bool = True) -> EncoderOutput:
+                 deterministic: bool = True,
+                 rows: Optional[jnp.ndarray] = None) -> EncoderOutput:
         gph, img, rel, att, name, char = self.modal_embeddings(
-            feats, graph, entity_noise_key, deterministic)
+            feats, graph, entity_noise_key, deterministic, rows=rows)
 
         # materialize each modal embedding exactly once.  Without this
         # barrier XLA fuses the producer chains (the CSR gather GAT above
@@ -188,6 +204,16 @@ class MultiModalEncoder(nn.Module):
         return EncoderOutput(gph=gph, img=img, rel=rel, att=att, name=name,
                              char=char, joint=joint, joint_fz=joint_fz,
                              hidden=hidden, weight_norm=weight_norm)
+
+
+def batch_rows(links: jnp.ndarray):
+    """(rows, local_links) for batch-subset encoding: rows stacks the left
+    then right link entities; local_links index into that stack."""
+    b = links.shape[0]
+    rows = jnp.concatenate([links[:, 0], links[:, 1]])
+    local = jnp.stack([jnp.arange(b, dtype=links.dtype),
+                       b + jnp.arange(b, dtype=links.dtype)], axis=1)
+    return rows, local
 
 
 def prepare_features(cfg: Config, data) -> FeaturePack:

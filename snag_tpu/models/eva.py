@@ -60,20 +60,27 @@ class EVA(nn.Module):
             self.char_fc = _xdense(cfg.char_dim, "char_fc")
 
     def _embs(self, feats: FeaturePack, graph: Graph,
-              entity_noise_key: Optional[jax.Array], deterministic: bool):
+              entity_noise_key: Optional[jax.Array], deterministic: bool,
+              rows=None):
         cfg = self.cfg
         ent = self.ent_embed
         if entity_noise_key is not None:
             ent = noise_ops.entity_noise(entity_noise_key, ent,
                                          cfg.noise_ratio, cfg.mask_ratio)
         gph = self.cross_graph_model(ent, graph, deterministic=deterministic)
-        img = self.img_fc(feats.img)
-        rel = self.rel_fc(feats.rel)
-        att = self.att_fc(feats.att)
+        if rows is not None:   # batch-subset encoding (see encoder.py doc)
+            gph = gph[rows]
+
+        def sel(t):
+            return t if rows is None else t[rows]
+
+        img = self.img_fc(sel(feats.img))
+        rel = self.rel_fc(sel(feats.rel))
+        att = self.att_fc(sel(feats.att))
         name = char = None
         if cfg.w_name and cfg.w_char and feats.name is not None:
-            name = self.name_fc(feats.name)
-            char = self.char_fc(feats.char)
+            name = self.name_fc(sel(feats.name))
+            char = self.char_fc(sel(feats.char))
         return gph, img, rel, att, name, char
 
     def _joint(self, gph, img, rel, att, name, char):
@@ -92,8 +99,12 @@ class EVA(nn.Module):
     def __call__(self, links, valid, feats: FeaturePack, graph: Graph,
                  entity_noise_key: Optional[jax.Array] = None,
                  deterministic: bool = False):
+        rows = None
+        if getattr(self.cfg, "batch_encode", 0):
+            from snag_tpu.models.encoder import batch_rows
+            rows, links = batch_rows(links)
         gph, img, rel, att, name, char = self._embs(
-            feats, graph, entity_noise_key, deterministic)
+            feats, graph, entity_noise_key, deterministic, rows=rows)
         joint = self._joint(gph, img, rel, att, name, char)
 
         loss_gcn = nca_loss(gph, links, alpha=5, beta=10, valid=valid)

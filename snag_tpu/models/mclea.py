@@ -53,8 +53,12 @@ class MCLEA(nn.Module):
                  entity_noise_key: Optional[jax.Array] = None,
                  deterministic: bool = False):
         cfg = self.cfg
+        rows = None
+        if getattr(cfg, "batch_encode", 0):
+            from snag_tpu.models.encoder import batch_rows
+            rows, links = batch_rows(links)
         enc = self.multimodal_encoder(feats, graph, entity_noise_key,
-                                      deterministic=deterministic)
+                                      deterministic=deterministic, rows=rows)
         modal = self._modal_dict(enc)
 
         loss_joi = icl_loss(enc.joint, links, tau=cfg.tau,

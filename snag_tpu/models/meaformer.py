@@ -107,8 +107,13 @@ class MEAformer(nn.Module):
                  replay_neg_valid: Optional[jnp.ndarray] = None,
                  replay_neg_valid_r: Optional[jnp.ndarray] = None):
         cfg = self.cfg
+        rows = None
+        if getattr(cfg, "batch_encode", 0) and not cfg.replay:
+            # replay negatives index arbitrary entities -> full table then
+            from snag_tpu.models.encoder import batch_rows
+            rows, links = batch_rows(links)
         enc = self.multimodal_encoder(feats, graph, entity_noise_key,
-                                      deterministic=deterministic)
+                                      deterministic=deterministic, rows=rows)
         hid = self.generate_hidden_emb(enc.hidden)
 
         nck = bool(cfg.neg_cross_kg)   # inert, as in reference MEAformer.py:51

@@ -25,7 +25,8 @@ from snag_tpu.config import Config
 from snag_tpu.data.graph import Graph
 from snag_tpu.losses.contrastive import icl_loss
 from snag_tpu.losses.multitask import AutomaticWeightedLoss, KendallLossLayer
-from snag_tpu.models.encoder import FeaturePack, MultiModalEncoder
+from snag_tpu.models.encoder import (FeaturePack, MultiModalEncoder,
+                                     batch_rows)
 from snag_tpu.ops.fusion import l2norm
 
 # fusion input order (SNAG_tools.py:154)
@@ -143,8 +144,12 @@ class SNAG(nn.Module):
                  entity_noise_key: Optional[jax.Array] = None,
                  deterministic: bool = False):
         cfg = self.cfg
+        rows = None
+        if getattr(cfg, "batch_encode", 0):
+            # per-entity stages run on the batch's rows only (encoder doc)
+            rows, links = batch_rows(links)
         enc = self.multimodal_encoder(feats, graph, entity_noise_key,
-                                      deterministic=deterministic)
+                                      deterministic=deterministic, rows=rows)
         # materialize encoder outputs once before the loss bundle reads
         # them through many consumers (gathers per modality, both joint
         # paths, hidden slices) — without the barrier XLA re-fuses pieces

@@ -26,9 +26,15 @@ from snag_tpu.ops import inits
 
 
 def l2norm(x: jnp.ndarray, axis: int = -1, eps: float = 1e-12) -> jnp.ndarray:
-    """torch F.normalize semantics (norm clamped at eps)."""
-    n = jnp.linalg.norm(x, axis=axis, keepdims=True)
-    return x / jnp.maximum(n, eps)
+    """torch F.normalize semantics (norm clamped at eps).
+
+    The clamp goes INSIDE the sqrt: ``linalg.norm``'s VJP at an exactly-zero
+    row is 0 * inf = NaN even when the clamped value is unused downstream
+    (zero-feature entities project to 0 at init and poisoned full-table
+    weight grads through the sum over rows)."""
+    sq = jnp.sum(x * x, axis=axis, keepdims=True)
+    n = jnp.sqrt(jnp.maximum(sq, eps * eps))
+    return x / n
 
 
 def _tdense(features: int, in_features: int, name: str, dtype=jnp.float32):

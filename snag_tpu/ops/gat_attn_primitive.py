@@ -32,6 +32,9 @@ from snag_tpu.ops.pallas.tile_segment import (TileStructure, _round_up,
 from snag_tpu.ops.pallas.gat_attention import (fused_gat_attention,
                                                xla_gat_attention, _leaky)
 
+# A/B harnesses force the unfused XLA backward by flipping this.
+FUSED_BWD = True
+
 
 def _row_ts(graph) -> TileStructure:
     return TileStructure(
@@ -110,7 +113,12 @@ def _bwd(res, cts):
     reduction (the wide one) then needs NO edge permutation — only the
     narrow d_score is permuted back to row order for the d_s_src reduce.
     (The previous row-ordered formulation permuted the full (E, 384)
-    packed block: 4.3 ms/layer, traced.)"""
+    packed block: 4.3 ms/layer, traced.)
+
+    On TPU the whole edgewise pipeline + packed reduce runs as ONE Pallas
+    launch (ops/pallas/gat_bwd.py); the d_score row-ordering then costs one
+    precomputed (E, 128) gather from the kernel's slot buffer instead of a
+    pad + permute pass."""
     x, s_src, s_dst, graph = res
     g_agg, g_rs = cts
     n, c = x.shape
@@ -121,29 +129,56 @@ def _bwd(res, cts):
     # row_cs = row[col_order]
     gm = jnp.concatenate([g_agg.astype(dt).reshape(n, h * c),
                           g_rs.astype(dt), s_src.astype(dt)], axis=1)
+    g_width = h * c + 2 * h
+    g_pad = _round_up(g_width, 128)
+    if g_pad != g_width:
+        gm = jnp.pad(gm, ((0, 0), (0, g_pad - g_width)))
     # barrier: both d_e and d_xc consume ge — without it XLA duplicates
     # the (E, 604) gather into each consumer (traced: two 1.2 ms copies)
-    ge = jax.lax.optimization_barrier(gm[graph.row_cs])    # (E, HC+2H)
+    ge = jax.lax.optimization_barrier(gm[graph.row_cs])    # (E, g_pad)
     xg, c_pad = _build_xg(x, s_dst)
     xgc = jax.lax.optimization_barrier(xg[graph.col_sorted])  # (E, c_pad)
-
-    score = (ge[:, h * c + h:h * c + 2 * h].astype(jnp.float32)
-             + xgc[:, c:c + h].astype(jnp.float32))        # (E, H)
     mask_cs = graph.mask_cs
-    e = jnp.where(mask_cs[:, None], jnp.exp(-_leaky(score)), 0.0)
 
-    xc_feat = xgc[:, :c]
-    d_e_parts = []
-    d_xc = jnp.zeros((ge.shape[0], c), dt)
-    for i in range(h):
-        gei = ge[:, i * c:(i + 1) * c]
-        d_e_parts.append(jnp.sum(xc_feat.astype(jnp.float32)
-                                 * gei.astype(jnp.float32), axis=1))
-        d_xc = d_xc + e[:, i:i + 1].astype(dt) * gei
-    g_rs_e = ge[:, h * c:h * c + h].astype(jnp.float32)
-    d_e = jnp.stack(d_e_parts, axis=1) + g_rs_e            # (E, H)
-    dleaky = jnp.where(score > 0, 1.0, 0.2)
-    d_score = jnp.where(mask_cs[:, None], -d_e * e * dleaky, 0.0)
+    from snag_tpu.ops.pallas.gat_bwd import edgewise_bwd, fused_gat_backward
+
+    if (FUSED_BWD and graph.ct_n_tiles and pallas_available()
+            and graph.ct_slot_rs is not None):
+        krow_cs = jnp.where(mask_cs, graph.row_cs, -1).astype(jnp.int32)
+        red_full, ds_slots = fused_gat_backward(
+            ge, xgc, krow_cs, graph.col_sorted, _col_ts(graph),
+            graph.n_nodes, h, c)
+        red = red_full[:graph.n_nodes]
+        # d_score in ROW-sorted order straight from the slot buffer
+        slot = graph.ct_slot_rs
+        dsp_rs = jnp.where((slot >= 0)[:, None],
+                           ds_slots[jnp.maximum(slot, 0)], 0).astype(dt)
+        if graph.ct_n_spill:
+            # edges past a tile's chunk cap: same math via the shared
+            # edgewise helper on the few spilled rows, segment-summed in
+            sel = graph.ct_spill_sel
+            mf_s = mask_cs[sel].astype(jnp.float32)[:, None]
+            _, d_score_s, d_xc_s = edgewise_bwd(ge[sel], xgc[sel], mf_s,
+                                                h, c)
+            packed_s = jnp.concatenate(
+                [d_xc_s.astype(jnp.float32), d_score_s,
+                 jnp.zeros((sel.shape[0], c_pad - c - h), jnp.float32)],
+                axis=1)
+            red = red + jax.ops.segment_sum(
+                packed_s, graph.ct_spill_row, num_segments=graph.n_nodes,
+                indices_are_sorted=True)
+            dsp_s = jnp.pad(d_score_s, ((0, 0), (0, 128 - h))).astype(dt)
+            dsp_rs = dsp_rs.at[graph.ct_spill_rs_pos].set(dsp_s)
+        d_x = red[:, :c].astype(x.dtype)
+        d_s_dst = red[:, c:c + h].astype(s_dst.dtype)
+        d_s_src = _reduce_rows(dsp_rs, graph.row, graph,
+                               use_row=True)[:, :h].astype(s_src.dtype)
+        return d_x, d_s_src, d_s_dst, _graph_zeros(graph)
+
+    _, d_score, d_xc = edgewise_bwd(ge, xgc,
+                                    mask_cs.astype(jnp.float32)[:, None],
+                                    h, c)
+    d_score = d_score.astype(jnp.float32)
 
     # ONE packed col reduce, already col-sorted: [d_xc | d_score]
     packed = jnp.concatenate(

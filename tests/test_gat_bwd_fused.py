@@ -1,0 +1,107 @@
+"""Fused GAT backward kernel (ops/pallas/gat_bwd.py) vs the XLA fallback.
+
+Interpret mode on CPU; the compiled path is A/B'd on TPU by
+scripts/check_gat_bwd_tpu.py.
+"""
+
+import unittest.mock as mock
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+
+import snag_tpu.ops.gat_attn_primitive as gp
+from snag_tpu.data.graph import build_graph
+from snag_tpu.ops.gat_attn_primitive import gat_attention
+
+
+def _setup(n=300, n_tri=900, c=48, h=2, seed=0):
+    rng = np.random.default_rng(seed)
+    tri = [(int(rng.integers(n)), 0, int(rng.integers(n)))
+           for _ in range(n_tri)]
+    g = build_graph(n, tri)
+    x = jnp.asarray(rng.normal(size=(n, c)).astype(np.float32))
+    s_src = jnp.asarray(rng.normal(size=(n, h)).astype(np.float32))
+    s_dst = jnp.asarray(rng.normal(size=(n, h)).astype(np.float32))
+    wa = jnp.asarray(rng.normal(size=(n, h, c)).astype(np.float32))
+    wr = jnp.asarray(rng.normal(size=(n, h)).astype(np.float32))
+    return g, x, s_src, s_dst, wa, wr
+
+
+def _grads(g, x, s_src, s_dst, wa, wr):
+    def loss(x, s_src, s_dst):
+        agg, rs = gat_attention(x, s_src, s_dst, g)
+        return (agg * wa).sum() + (rs * wr).sum()
+    return jax.grad(loss, argnums=(0, 1, 2))(x, s_src, s_dst)
+
+
+def test_fused_bwd_matches_fallback():
+    g, x, s_src, s_dst, wa, wr = _setup()
+    assert g.ct_slot_rs is not None
+
+    want = _grads(g, x, s_src, s_dst, wa, wr)   # CPU -> XLA fallback
+
+    orig = pl.pallas_call
+
+    def interp(*a, **k):
+        k["interpret"] = True
+        return orig(*a, **k)
+
+    with mock.patch.object(pl, "pallas_call", interp), \
+            mock.patch.object(gp, "pallas_available", lambda: True):
+        import snag_tpu.ops.pallas.gat_attention as ga
+        with mock.patch.object(ga, "pallas_available", lambda: True):
+            got = _grads(g, x, s_src, s_dst, wa, wr)
+
+    for name, a, b in zip(("d_x", "d_s_src", "d_s_dst"), got, want):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-4, atol=1e-4, err_msg=name)
+
+
+def test_fused_bwd_with_spill_and_hubs():
+    """A hub-heavy graph forces ct-spill edges through the XLA tail."""
+    rng = np.random.default_rng(3)
+    n = 260
+    tri = [(int(rng.integers(n)), 0, 7) for _ in range(400)]        # hub col
+    tri += [(5, 0, int(rng.integers(n))) for _ in range(400)]       # hub row
+    tri += [(int(rng.integers(n)), 0, int(rng.integers(n)))
+            for _ in range(300)]
+    g = build_graph(n, tri)
+    c, h = 24, 2
+    x = jnp.asarray(rng.normal(size=(n, c)).astype(np.float32))
+    s_src = jnp.asarray(rng.normal(size=(n, h)).astype(np.float32))
+    s_dst = jnp.asarray(rng.normal(size=(n, h)).astype(np.float32))
+    wa = jnp.asarray(rng.normal(size=(n, h, c)).astype(np.float32))
+    wr = jnp.asarray(rng.normal(size=(n, h)).astype(np.float32))
+
+    want = _grads(g, x, s_src, s_dst, wa, wr)
+
+    orig = pl.pallas_call
+
+    def interp(*a, **k):
+        k["interpret"] = True
+        return orig(*a, **k)
+
+    with mock.patch.object(pl, "pallas_call", interp), \
+            mock.patch.object(gp, "pallas_available", lambda: True):
+        import snag_tpu.ops.pallas.gat_attention as ga
+        with mock.patch.object(ga, "pallas_available", lambda: True):
+            got = _grads(g, x, s_src, s_dst, wa, wr)
+
+    for name, a, b in zip(("d_x", "d_s_src", "d_s_dst"), got, want):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-4, atol=1e-4, err_msg=name)
+
+
+def test_slot_map_covers_all_nonspill_edges():
+    g, *_ = _setup(seed=9)
+    slot = np.asarray(g.ct_slot_rs)
+    spill_rs = np.asarray(g.ct_spill_rs_pos[:g.ct_n_spill])
+    mask = np.asarray(g.mask)
+    uncovered = (slot < 0) & mask
+    # every real, uncovered edge must be a spill edge
+    assert set(np.nonzero(uncovered)[0]) <= set(spill_rs.tolist())
+    # slots are unique (no two edges share a slot)
+    live = slot[slot >= 0]
+    assert len(np.unique(live)) == len(live)

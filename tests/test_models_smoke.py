@@ -89,3 +89,48 @@ def test_snag_with_surface_modalities(synth_cfg, synth_data):
     assert np.isfinite(l0) and np.isfinite(l1) and l1 < l0
     res = runner.evaluate()
     assert res.mrr_l2r > 0
+
+
+def test_batch_encode_matches_full_encoding(synth_cfg, synth_data):
+    """--batch_encode runs projections/fusion on the batch's rows only;
+    the loss (and its gradients) must equal the full-table encoding."""
+    import dataclasses
+    import jax
+    import jax.numpy as jnp
+    from snag_tpu.models import build_model
+    from snag_tpu.models.encoder import prepare_features
+
+    for model_name in ("SNAG", "MEAformer", "MCLEA", "EVA"):
+        base = dataclasses.replace(
+            synth_cfg, model_name=model_name, add_noise=0, dropout=0.0,
+            structure_encoder="gcn" if model_name == "EVA" else "gat")
+        feats = prepare_features(base, synth_data)
+        links = jnp.asarray(synth_data.train_ill[:16].astype(np.int64))
+        valid = jnp.ones((16,), bool)
+        rng = jax.random.PRNGKey(0)
+
+        losses = {}
+        for be in (0, 1):
+            cfg = dataclasses.replace(base, batch_encode=be)
+            model = build_model(cfg, synth_data)
+            variables = model.init({"params": rng, "dropout": rng}, links,
+                                   valid, feats, synth_data.graph,
+                                   deterministic=True)
+
+            def f(params):
+                loss, _ = model.apply({"params": params}, links, valid,
+                                      feats, synth_data.graph,
+                                      deterministic=True)
+                return loss
+
+            loss, grads = jax.value_and_grad(f)(variables["params"])
+            losses[be] = (float(loss), grads)
+        l0, g0 = losses[0]
+        l1, g1 = losses[1]
+        assert abs(l0 - l1) / max(abs(l0), 1e-9) < 1e-4, (model_name, l0, l1)
+        flat0 = jax.tree_util.tree_leaves(g0)
+        flat1 = jax.tree_util.tree_leaves(g1)
+        for a, b in zip(flat0, flat1):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       rtol=2e-3, atol=2e-5,
+                                       err_msg=model_name)
