@@ -101,12 +101,6 @@ class Graph:
     ct_n_tiles: int = 0
     ct_max_chunks: int = 0
     ct_n_spill: int = 0
-    # fused GAT backward (ops/pallas/gat_bwd.py): for each edge position in
-    # ROW-sorted order, the flattened (tile, chunk) slot of its d_score in
-    # the kernel's slot buffer (-1 for ct-spill edges), and the row-order
-    # positions of the ct-spill edges (for the XLA tail's scatter).
-    ct_slot_rs: np.ndarray = None     # (E_pad,) int32
-    ct_spill_rs_pos: np.ndarray = None  # (S_pad,) int32
 
     @property
     def e_pad(self) -> int:
@@ -122,7 +116,7 @@ jax.tree_util.register_pytree_node(
                 g.col_tail_sel, g.col_tail_row, g.rt_chunk_base, g.rt_nc,
                 g.rt_spill_sel, g.rt_spill_row, g.ct_chunk_base, g.ct_nc,
                 g.ct_spill_sel, g.ct_spill_row, g.col_sorted, g.row_cs,
-                g.inv_col_order, g.mask_cs, g.ct_slot_rs, g.ct_spill_rs_pos),
+                g.inv_col_order, g.mask_cs),
                (g.n_nodes, g.n_edges, g.gather_width, g.n_tail,
                 g.col_gather_width, g.rt_n_tiles, g.rt_max_chunks,
                 g.rt_n_spill, g.ct_n_tiles, g.ct_max_chunks, g.ct_n_spill)),
@@ -138,8 +132,7 @@ jax.tree_util.register_pytree_node(
         ct_chunk_base=leaves[17], ct_nc=leaves[18], ct_spill_sel=leaves[19],
         ct_spill_row=leaves[20], ct_n_tiles=aux[8], ct_max_chunks=aux[9],
         ct_n_spill=aux[10], col_sorted=leaves[21], row_cs=leaves[22],
-        inv_col_order=leaves[23], mask_cs=leaves[24], ct_slot_rs=leaves[25],
-        ct_spill_rs_pos=leaves[26]),
+        inv_col_order=leaves[23], mask_cs=leaves[24]),
 )
 
 
@@ -241,21 +234,6 @@ def build_graph(n_nodes: int, triples: Sequence[Tuple[int, int, int]],
     ct = build_tile_structure(cols_sorted.astype(np.int64), cstarts_full,
                               n_nodes, e_pad)
 
-    # fused-backward slot map: edge at col-sorted position q lives in the
-    # d_score slot buffer at ((owning_tile*max_chunks + chunk_offset)*CHUNK
-    # + q%CHUNK), where owning_tile = its column id // R; positions past a
-    # tile's chunk cap are ct-spill edges (-1, filled by the XLA tail)
-    from snag_tpu.ops.pallas.tile_segment import CHUNK as _CK, R as _R
-    cs_pos = np.arange(e_pad, dtype=np.int64)
-    owning = (cols_sorted // _R).astype(np.int64)
-    slot_c = cs_pos // _CK - ct.chunk_base[owning]
-    ok = (slot_c >= 0) & (slot_c < ct.nc[owning])
-    slot_cs = np.where(
-        ok, (owning * ct.max_chunks + slot_c) * _CK + cs_pos % _CK, -1)
-    inv_co = np.argsort(col_order)
-    ct_slot_rs = slot_cs[inv_co].astype(np.int32)
-    ct_spill_rs_pos = col_order[ct.spill_sel].astype(np.int32)
-
     return Graph(n_nodes=n_nodes, n_edges=n_real, row=row_p, col=col_p,
                  w=w_p, mask=msk, starts=starts, deg=deg, tail_sel=tail_sel,
                  tail_row=tail_row, gather_width=gather_width, n_tail=n_tail,
@@ -273,8 +251,7 @@ def build_graph(n_nodes: int, triples: Sequence[Tuple[int, int, int]],
                  ct_chunk_base=ct.chunk_base, ct_nc=ct.nc,
                  ct_spill_sel=ct.spill_sel, ct_spill_row=ct.spill_row,
                  ct_n_tiles=ct.n_tiles, ct_max_chunks=ct.max_chunks,
-                 ct_n_spill=ct.n_spill, ct_slot_rs=ct_slot_rs,
-                 ct_spill_rs_pos=ct_spill_rs_pos)
+                 ct_n_spill=ct.n_spill)
 
 
 def dense_adjacency(g: Graph) -> np.ndarray:

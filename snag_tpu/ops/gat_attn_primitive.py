@@ -3,16 +3,15 @@
 ``gat_attention(x, s_src, s_dst, graph)`` computes the complete sparse
 attention + aggregation of a diag-mode GAT layer (reference
 SNAG_MMEA/model/layers.py:68-94) in one Pallas launch (see
-ops/pallas/gat_attention.py).  The custom backward touches edges ONLY
-through wide gathers and two tile-kernel reductions:
+ops/pallas/gat_attention.py).  The custom backward mirrors the forward's
+row-tile structure (ops/pallas/gat_bwd.py): the cotangent block
+[G | r | s_src] is TILE-loaded (never edge-gathered), the forward's
+row-sorted xc = [x | s_dst][col] gather is reused as a residual, and
+d_s_src accumulates inside the kernel.  The only edge-order data movement
+in the whole backward is ONE (E, c_pad) permutation gather of the packed
+[d_xc | d_score] block into column order for the col-tile reduce.
 
-    ge  = [g_agg | g_rs | s_src][row]        one wide row-gather
-    xgc = [x | s_dst][col]                   one wide col-gather
-    e, d_e, d_score                          edgewise from ge/xgc slices
-    d_x, d_s_dst                             ONE col-tile reduce (packed)
-    d_s_src                                  ONE row-tile reduce
-
-Narrow (E, H) gathers/reduces — latency-bound on TPU, ~4-6 ms each — do
+Narrow (E, H) gathers/reduces — latency-bound on TPU, ~3-6 ms each — do
 not appear anywhere.
 """
 
@@ -52,8 +51,8 @@ def _col_ts(graph) -> TileStructure:
         n_spill=graph.ct_n_spill)
 
 
-def _reduce_rows(vals, keys, graph, use_row: bool):
-    """Unweighted (N, C) reduce of edge values over row- or col-sorted keys."""
+def _reduce_edges(vals, keys, graph, use_row: bool):
+    """Unweighted (N, C) reduce of edge values over sorted row/col keys."""
     ones = jnp.ones((vals.shape[0], 1), vals.dtype)
     ts = _row_ts(graph) if use_row else _col_ts(graph)
     if ts.n_tiles and pallas_available():
@@ -77,6 +76,21 @@ def _build_xg(x, s_dst):
     return xg, c_pad
 
 
+def _build_gm(g_agg, g_rs, s_src, graph, dt):
+    """(n_pad, g_pad) [G | r | s_src] node block for the backward kernel;
+    built in ONE concatenate (a separate pad op gets commuted past gathers
+    by XLA into a full extra (E, g_pad) pass, traced)."""
+    n = s_src.shape[0]
+    h = s_src.shape[1]
+    c = g_agg.shape[2]
+    g_width = h * c + 2 * h
+    g_pad = _round_up(g_width, 128)
+    gm = jnp.concatenate(
+        [g_agg.astype(dt).reshape(n, h * c), g_rs.astype(dt),
+         s_src.astype(dt), jnp.zeros((n, g_pad - g_width), dt)], axis=1)
+    return gm
+
+
 @jax.custom_vjp
 def gat_attention(x: jnp.ndarray, s_src: jnp.ndarray, s_dst: jnp.ndarray,
                   graph) -> Tuple[jnp.ndarray, jnp.ndarray]:
@@ -89,13 +103,14 @@ def _fwd(x, s_src, s_dst, graph):
     n, c = x.shape
     h = s_src.shape[1]
     xg, c_pad = _build_xg(x, s_dst)
+    # the ONE wide edge gather of the layer, shared fwd/bwd as a residual
+    xc = xg[graph.col]                                        # (E, c_pad)
     krow = jnp.where(graph.mask, graph.row, -1).astype(jnp.int32)
     if graph.rt_n_tiles and pallas_available():
-        out = fused_gat_attention(xg, s_src, krow, graph.col, _row_ts(graph),
-                                  n, h, c)
+        out = fused_gat_attention(xc, s_src, krow, _row_ts(graph), n, h, c)
     else:
-        out = xla_gat_attention(xg, s_src, krow, graph.col, n, h, c)
-    return out, (x, s_src, s_dst, graph)
+        out = xla_gat_attention(xc, s_src, krow, n, h, c)
+    return out, (x, xc, s_src, s_dst, graph)
 
 
 def _graph_zeros(graph):
@@ -109,74 +124,59 @@ def _graph_zeros(graph):
 
 
 def _bwd(res, cts):
-    """Entirely in COL-SORTED edge order: the packed [d_xc | d_score]
-    reduction (the wide one) then needs NO edge permutation — only the
-    narrow d_score is permuted back to row order for the d_s_src reduce.
-    (The previous row-ordered formulation permuted the full (E, 384)
-    packed block: 4.3 ms/layer, traced.)
-
-    On TPU the whole edgewise pipeline + packed reduce runs as ONE Pallas
-    launch (ops/pallas/gat_bwd.py); the d_score row-ordering then costs one
-    precomputed (E, 128) gather from the kernel's slot buffer instead of a
-    pad + permute pass."""
-    x, s_src, s_dst, graph = res
+    """Row-tile fused backward; see module docstring.  The XLA fallback
+    (CPU tests / non-TPU) runs the same edgewise math over col-sorted
+    blocks reordered from the shared xc residual."""
+    x, xc, s_src, s_dst, graph = res
     g_agg, g_rs = cts
     n, c = x.shape
     h = s_src.shape[1]
     dt = x.dtype
+    c_pad = xc.shape[1]
 
-    # wide row-gather block in col-sorted order: rows via precomputed
-    # row_cs = row[col_order]
-    gm = jnp.concatenate([g_agg.astype(dt).reshape(n, h * c),
-                          g_rs.astype(dt), s_src.astype(dt)], axis=1)
-    g_width = h * c + 2 * h
-    g_pad = _round_up(g_width, 128)
-    if g_pad != g_width:
-        gm = jnp.pad(gm, ((0, 0), (0, g_pad - g_width)))
-    # barrier: both d_e and d_xc consume ge — without it XLA duplicates
-    # the (E, 604) gather into each consumer (traced: two 1.2 ms copies)
-    ge = jax.lax.optimization_barrier(gm[graph.row_cs])    # (E, g_pad)
-    xg, c_pad = _build_xg(x, s_dst)
-    xgc = jax.lax.optimization_barrier(xg[graph.col_sorted])  # (E, c_pad)
-    mask_cs = graph.mask_cs
+    from snag_tpu.ops.pallas.gat_bwd import (edgewise_bwd,
+                                             fused_gat_backward_row)
 
-    from snag_tpu.ops.pallas.gat_bwd import edgewise_bwd, fused_gat_backward
+    gm = _build_gm(g_agg, g_rs, s_src, graph, dt)
+    krow = jnp.where(graph.mask, graph.row, -1).astype(jnp.int32)
 
-    if (FUSED_BWD and graph.ct_n_tiles and pallas_available()
-            and graph.ct_slot_rs is not None):
-        krow_cs = jnp.where(mask_cs, graph.row_cs, -1).astype(jnp.int32)
-        red_full, ds_slots = fused_gat_backward(
-            ge, xgc, krow_cs, graph.col_sorted, _col_ts(graph),
-            graph.n_nodes, h, c)
-        red = red_full[:graph.n_nodes]
-        # d_score in ROW-sorted order straight from the slot buffer
-        slot = graph.ct_slot_rs
-        dsp_rs = jnp.where((slot >= 0)[:, None],
-                           ds_slots[jnp.maximum(slot, 0)], 0).astype(dt)
-        if graph.ct_n_spill:
+    if FUSED_BWD and graph.rt_n_tiles and pallas_available():
+        ts = _row_ts(graph)
+        n_pad = ts.n_tiles * 128
+        gm_full = jnp.pad(gm, ((0, n_pad - n), (0, 0)))
+        # barrier: gm feeds both the kernel and the spill gather — without
+        # it XLA duplicates the concat into each consumer
+        gm_full = jax.lax.optimization_barrier(gm_full)
+        dss, packed = fused_gat_backward_row(gm_full, xc, krow, ts, h, c)
+        d_s_src = dss[:n, :h]
+        if ts.n_spill:
             # edges past a tile's chunk cap: same math via the shared
-            # edgewise helper on the few spilled rows, segment-summed in
-            sel = graph.ct_spill_sel
-            mf_s = mask_cs[sel].astype(jnp.float32)[:, None]
-            _, d_score_s, d_xc_s = edgewise_bwd(ge[sel], xgc[sel], mf_s,
-                                                h, c)
-            packed_s = jnp.concatenate(
-                [d_xc_s.astype(jnp.float32), d_score_s,
-                 jnp.zeros((sel.shape[0], c_pad - c - h), jnp.float32)],
+            # edgewise helper, scattered into the packed block (the kernel
+            # never writes spill positions)
+            sel = jnp.asarray(ts.spill_sel)
+            mf_s = (krow[sel] >= 0).astype(jnp.float32)[:, None]
+            ge_s = gm_full[jnp.maximum(krow[sel], 0)]
+            _, d_score_s, d_xc_s = edgewise_bwd(ge_s, xc[sel], mf_s, h, c)
+            pk_s = jnp.concatenate(
+                [d_xc_s, d_score_s.astype(d_xc_s.dtype),
+                 jnp.zeros((sel.shape[0], c_pad - c - h), d_xc_s.dtype)],
                 axis=1)
-            red = red + jax.ops.segment_sum(
-                packed_s, graph.ct_spill_row, num_segments=graph.n_nodes,
-                indices_are_sorted=True)
-            dsp_s = jnp.pad(d_score_s, ((0, 0), (0, 128 - h))).astype(dt)
-            dsp_rs = dsp_rs.at[graph.ct_spill_rs_pos].set(dsp_s)
+            packed = packed.at[sel].set(pk_s)
+            d_s_src = d_s_src + jax.ops.segment_sum(
+                d_score_s, jnp.asarray(ts.spill_row),
+                num_segments=graph.n_nodes, indices_are_sorted=True)
+        red = _reduce_edges(packed[graph.col_order], graph.col_sorted,
+                            graph, use_row=False)
         d_x = red[:, :c].astype(x.dtype)
         d_s_dst = red[:, c:c + h].astype(s_dst.dtype)
-        d_s_src = _reduce_rows(dsp_rs, graph.row, graph,
-                               use_row=True)[:, :h].astype(s_src.dtype)
-        return d_x, d_s_src, d_s_dst, _graph_zeros(graph)
+        return (d_x, d_s_src.astype(s_src.dtype), d_s_dst,
+                _graph_zeros(graph))
 
+    # ---- XLA fallback: col-sorted edgewise + two tile/segment reduces ----
+    ge = jax.lax.optimization_barrier(gm[graph.row_cs])       # (E, g_pad)
+    xgc = xc[graph.col_order]                                 # (E, c_pad)
     _, d_score, d_xc = edgewise_bwd(ge, xgc,
-                                    mask_cs.astype(jnp.float32)[:, None],
+                                    graph.mask_cs.astype(jnp.float32)[:, None],
                                     h, c)
     d_score = d_score.astype(jnp.float32)
 
@@ -184,15 +184,15 @@ def _bwd(res, cts):
     packed = jnp.concatenate(
         [d_xc, d_score.astype(dt),
          jnp.zeros((ge.shape[0], c_pad - c - h), dt)], axis=1)
-    red = _reduce_rows(packed, graph.col_sorted, graph, use_row=False)
+    red = _reduce_edges(packed, graph.col_sorted, graph, use_row=False)
     d_x = red[:, :c].astype(x.dtype)
     d_s_dst = red[:, c:c + h].astype(s_dst.dtype)
 
     # narrow d_score back to row order for the d_s_src row reduce
     dsp = jnp.pad(d_score.astype(dt), ((0, 0), (0, 128 - h)))
     dsp_rs = dsp[graph.inv_col_order]
-    d_s_src = _reduce_rows(dsp_rs, graph.row, graph,
-                           use_row=True)[:, :h].astype(s_src.dtype)
+    d_s_src = _reduce_edges(dsp_rs, graph.row, graph,
+                            use_row=True)[:, :h].astype(s_src.dtype)
 
     return d_x, d_s_src, d_s_dst, _graph_zeros(graph)
 

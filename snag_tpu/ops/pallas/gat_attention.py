@@ -20,9 +20,9 @@ each, profiled), so here
   same one-hot matmul that does the reduction;
 * masked/padded edges carry row = -1 in ``krow`` and match no output row.
 
-The backward (ops/gat_agg.py) recomputes e from two WIDE gathers (the
-row-gathered [g_agg | g_rs | s_src] block and the col-gathered
-[x | s_dst] block) and reduces with the tile kernel — no narrow edge ops
+The backward (ops/pallas/gat_bwd.py) mirrors this row-tile structure:
+it reuses this forward's xc gather as a residual, tile-loads the
+cotangent block, and accumulates d_s_src in-kernel — no narrow edge ops
 anywhere in the layer.
 """
 
@@ -96,23 +96,22 @@ def _attn_kernel(cb_ref, nc_ref, row_ref, xg_ref, ssrc_ref, out_ref, rs_ref,
 
 
 def fused_gat_attention(
-        xg: jnp.ndarray,          # (N, c_pad): [features | s_dst | 0-pad]
+        xc: jnp.ndarray,          # (E_pad, c_pad): [x | s_dst | 0][col]
         s_src: jnp.ndarray,       # (N, H)
         krow: jnp.ndarray,        # (E_pad,) int32 row ids, -1 on padding
-        col: jnp.ndarray,         # (E_pad,) int32
         ts: TileStructure,
         n_nodes: int, n_heads: int, c_feat: int,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
-    """Returns (agg (N, H, c_feat) f32, rowsum (N, H) f32)."""
-    e_pad = krow.shape[0]
-    c_pad = xg.shape[1]
+    """Returns (agg (N, H, c_feat) f32, rowsum (N, H) f32).  ``xc`` is the
+    col-gathered feature block in row-sorted edge order — materialized by
+    the caller once and shared with the backward as a VJP residual."""
+    e_pad, c_pad = xc.shape
     assert c_pad % 128 == 0 and e_pad % CHUNK == 0
-    xc = xg[col]                                              # (E, c_pad)
     row_mat = krow.astype(jnp.int32).reshape(e_pad // CHUNK, CHUNK // 128, 128)
     n_chunks = e_pad // CHUNK
     n_pad = ts.n_tiles * R
-    ssrc_wide = jnp.zeros((n_pad, E_LANES), xg.dtype)
-    ssrc_wide = ssrc_wide.at[:n_nodes, :n_heads].set(s_src.astype(xg.dtype))
+    ssrc_wide = jnp.zeros((n_pad, E_LANES), xc.dtype)
+    ssrc_wide = ssrc_wide.at[:n_nodes, :n_heads].set(s_src.astype(xc.dtype))
 
     def idx_edges(t, c, cb, nc):
         return (jnp.minimum(cb[t] + c, n_chunks - 1), 0)
@@ -162,15 +161,16 @@ def fused_gat_attention(
     return agg, rowsum
 
 
-def xla_gat_attention(xg, s_src, krow, col, n_nodes, n_heads, c_feat):
-    """Fallback (CPU tests / non-TPU): same math, plain gathers."""
+def xla_gat_attention(xc, s_src, krow, n_nodes, n_heads, c_feat):
+    """Fallback (CPU tests / non-TPU): same math, plain segment ops over
+    the caller's pre-gathered ``xc`` block."""
     mask = krow >= 0
     row = jnp.maximum(krow, 0)
     score = s_src[row].astype(jnp.float32) + \
-        xg[col][:, c_feat:c_feat + n_heads].astype(jnp.float32)
+        xc[:, c_feat:c_feat + n_heads].astype(jnp.float32)
     e = jnp.where(mask[:, None], jnp.exp(-_leaky(score)), 0.0)
-    xc = xg[col][:, :c_feat].astype(jnp.float32)
-    vals = (e[:, :, None] * xc[:, None, :]).reshape(krow.shape[0], -1)
+    xf = xc[:, :c_feat].astype(jnp.float32)
+    vals = (e[:, :, None] * xf[:, None, :]).reshape(krow.shape[0], -1)
     agg = jax.ops.segment_sum(vals, row, num_segments=n_nodes,
                               indices_are_sorted=True)
     rowsum = jax.ops.segment_sum(e, row, num_segments=n_nodes,

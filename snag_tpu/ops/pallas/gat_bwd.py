@@ -1,19 +1,42 @@
-"""Fully-fused GAT-layer backward kernel (col-sorted side).
+"""Fully-fused GAT-layer backward kernel (row-tile side).
 
-The scatter-free GAT backward (ops/gat_attn_primitive._bwd) previously ran
-its edgewise math — e = exp(-leakyrelu(score)), d_e = <x_col, g_agg_row>,
-d_score, d_xc = sum_h e_h * g_agg_h — as ~6 XLA fusion passes over the
-(E, 604)/(E, 384) gathered blocks, materializing a packed (E, 384)
-intermediate for the column reduce (~1 ms per pass per layer at 330K
-edges).  This kernel streams the SAME gathered blocks once and does
-everything inside the column-tile reduce launch:
+The GAT backward needs, per edge (i <- j):
 
-* per chunk: recompute e / d_e / d_score / d_xc in VMEM;
-* one-hot matmul accumulates the packed [d_x | d_s_dst] output tile;
-* d_score is emitted per (tile, chunk) slot, masked to the owning tile, so
-  the row-side d_s_src reduce reads it back through ONE precomputed
-  (E, 128) gather (graph.ct_slot_rs) — replacing the old pad + permute
-  passes as well.
+    e        = exp(-leakyrelu(s_src[i] + s_dst[j])) * mask
+    d_e      = <x[j], G[i]> + r[i]          (G, r = agg / rowsum cotangents)
+    d_score  = -d_e * e * leaky'
+    d_xc     = sum_h e_h * G[i, h]
+
+then three segment reductions: d_s_src over rows, d_x / d_s_dst over
+columns.  Two earlier formulations paid for edge transport: (1) pure-XLA
+ran ~6 fusion passes over pre-gathered (E, 604)/(E, 384) blocks; (2) a
+col-tile kernel still pre-gathered both blocks and moved d_score through a
+padded (tile, chunk) slot buffer whose (E, 128) re-gather alone cost
+~3 ms/layer (256-byte rows gather an order of magnitude slower than
+wide rows, traced).
+
+This kernel works in ROW-sorted order, mirroring the forward
+(ops/pallas/gat_attention.py) so every row-side operand is TILE-loaded
+instead of edge-gathered:
+
+* gm = [G | r | s_src] enters as the output tile's (R, g_pad) block —
+  no (E, 604) gather, no pad pass; rows broadcast onto edges by the same
+  one-hot matmul that does the reductions;
+* xc = [x | s_dst][col] in row-sorted edge order is the SAME gather the
+  forward already materialized — reused as a VJP residual, so the
+  backward performs no wide gather at all;
+* d_s_src accumulates in-kernel into the (R, 128) tile block (exactly
+  like the forward's rowsum) — the slot buffer, its re-gather, and the
+  separate row-tile reduce launch all disappear;
+* the packed [d_xc | d_score] edge block streams out per chunk; the
+  column-side reduction then needs ONE (E, c_pad) permutation gather
+  (row -> col order) + the standard col-tile reduce.
+
+Boundary chunks shared by two consecutive tiles map to the same output
+block; TPU grids run sequentially and all visits to a block are
+consecutive, so the second tile accumulates into the still-resident
+block (``fv`` marks first visits).  Edges past a tile's chunk cap are
+rt-spill positions, filled by the caller's XLA tail.
 
 Replaces the edge pipeline of the reference GAT layer's backward
 (autograd through SNAG_MMEA/model/layers.py:68-94).
@@ -44,10 +67,10 @@ def _leaky(x):
 
 
 def edgewise_bwd(ge, xgc, maskf, h: int, c: int):
-    """(e, d_score, d_xc) from gathered row/col blocks — the single source
+    """(e, d_score, d_xc) from per-edge row/col blocks — the single source
     of truth for the kernel, the spill tail, and the XLA fallback.
 
-    ge:  (K, >=h*c+2h) [g_agg(h*c) | g_rs(h) | s_src(h)] in edge order;
+    ge:  (K, >=h*c+2h) [G(h*c) | r(h) | s_src(h)] in edge order;
     xgc: (K, >=c+h)    [x | s_dst];  maskf: (K, 1) f32 real-edge mask
     (float, not bool — Mosaic cannot minor-dim-reshape 1-bit vectors).
     The mask folds multiplicatively into e, which zeroes d_score too.
@@ -72,94 +95,106 @@ def edgewise_bwd(ge, xgc, maskf, h: int, c: int):
     return e, d_score, d_xc
 
 
-def _bwd_kernel(cb_ref, nc_ref, key_ref, krow_ref, ge_ref, xgc_ref,
-                red_ref, ds_ref, *, h: int, c: int, c_pad: int):
+def _bwd_row_kernel(cb_ref, nc_ref, fv_ref, krow_ref, gm_ref, xc_ref,
+                    dss_ref, packed_ref, *, h: int, c: int, c_pad: int):
     t = pl.program_id(0)
     cix = pl.program_id(1)
 
     @pl.when(cix == 0)
     def _():
-        red_ref[...] = jnp.zeros_like(red_ref)
+        dss_ref[...] = jnp.zeros_like(dss_ref)
 
     active = cix < nc_ref[t]
 
     @pl.when(active)
     def _():
-        keys = key_ref[0].reshape(-1)                        # (CHUNK,)
-        # flatten THEN insert the minor dim on f32: Mosaic rejects both the
-        # combined (1,4,128)->(512,1) reshape and minor-dim inserts on i1
-        maskf = (krow_ref[0].reshape(-1) >= 0).astype(jnp.float32)[:, None]
-        ge = ge_ref[...]
-        xgc = xgc_ref[...]
-        _, d_score, d_xc = edgewise_bwd(ge, xgc, maskf, h, c)
+        rows = krow_ref[0].reshape(-1)                       # (CHUNK,)
+        local = rows - t * R                                 # pad -1 -> <0
+        colsR = jax.lax.broadcasted_iota(jnp.int32, (CHUNK, R), 1)
+        match = local[:, None] == colsR                      # (CHUNK, R)
+        oh = match.astype(gm_ref.dtype)
 
-        packed = jnp.concatenate(
+        # broadcast the tile's [G | r | s_src] rows onto edges (one-hot
+        # matmul; exact for bf16 inputs — rows are copied, not summed)
+        ge = jax.lax.dot_general(
+            oh, gm_ref[...], dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32).astype(gm_ref.dtype)
+        maskf = jnp.any(match, axis=1).astype(jnp.float32)[:, None]
+        _, d_score, d_xc = edgewise_bwd(ge, xc_ref[...], maskf, h, c)
+
+        # d_s_src: reduce d_score onto the owning tile rows (as the
+        # forward does for rowsum)
+        ds_wide = jnp.pad(d_score, ((0, 0), (0, 128 - h))).astype(oh.dtype)
+        dss_ref[...] += jax.lax.dot_general(
+            oh, ds_wide, dimension_numbers=(((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)              # (R, 128)
+
+        # packed [d_xc | d_score | 0] per edge; off-tile edges carry zeros
+        # (e == 0 there), so the boundary-chunk accumulation is disjoint
+        pk = jnp.concatenate(
             [d_xc, d_score.astype(d_xc.dtype),
              jnp.zeros((CHUNK, c_pad - c - h), d_xc.dtype)], axis=1)
-        local = keys - t * R
-        colsR = jax.lax.broadcasted_iota(jnp.int32, (CHUNK, R), 1)
-        match = local[:, None] == colsR
-        oh = match.astype(packed.dtype)
-        red_ref[...] += jax.lax.dot_general(
-            oh, packed, dimension_numbers=(((0,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32)              # (R, c_pad)
+        first = jnp.logical_or(cix > 0, fv_ref[t] != 0)
 
-        # d_score, owned-tile entries only (overlapping chunks are visited
-        # by two tiles; exactly one owns each edge)
-        intile = jnp.any(match, axis=1)
-        ds = jnp.pad(d_score, ((0, 0), (0, 128 - h)))
-        ds_ref[...] = jnp.where(intile[:, None], ds, 0.0).astype(ds_ref.dtype)
+        @pl.when(first)
+        def _():
+            packed_ref[...] = pk
 
-    @pl.when(jnp.logical_not(active))
-    def _():
-        ds_ref[...] = jnp.zeros_like(ds_ref)
+        @pl.when(jnp.logical_not(first))
+        def _():
+            packed_ref[...] += pk
 
 
-def fused_gat_backward(ge: jnp.ndarray,       # (E_pad, g_pad) gathered rows
-                       xgc: jnp.ndarray,      # (E_pad, c_pad) gathered cols
-                       krow_cs: jnp.ndarray,  # (E_pad,) row ids, -1 padding
-                       col_sorted: jnp.ndarray,
-                       ts: TileStructure,
-                       n_nodes: int, n_heads: int, c_feat: int,
-                       ) -> Tuple[jnp.ndarray, jnp.ndarray]:
-    """Returns (red (n_nodes_pad, c_pad) f32 packed [d_x | d_s_dst],
-    ds_slots (n_tiles*max_chunks*CHUNK, 128) d_score by (tile, chunk) slot)."""
-    e_pad, c_pad = xgc.shape
+def fused_gat_backward_row(
+        gm: jnp.ndarray,       # (n_tiles*R, g_pad) [G | r | s_src] by node
+        xc: jnp.ndarray,       # (E_pad, c_pad) [x | s_dst] row-sorted edges
+        krow: jnp.ndarray,     # (E_pad,) row ids, -1 padding
+        ts: TileStructure,
+        n_heads: int, c_feat: int,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Returns (dss (n_tiles*R, 128) f32 d_s_src tiles,
+    packed (E_pad, c_pad) [d_xc | d_score] in row-sorted edge order;
+    rt-spill positions are NOT written — the caller's tail fills them)."""
+    e_pad, c_pad = xc.shape
     n_chunks = e_pad // CHUNK
-    key_mat = col_sorted.astype(jnp.int32).reshape(n_chunks, CHUNK // 128, 128)
-    krow_mat = krow_cs.astype(jnp.int32).reshape(n_chunks, CHUNK // 128, 128)
+    krow_mat = krow.astype(jnp.int32).reshape(n_chunks, CHUNK // 128, 128)
+    cb = jnp.asarray(ts.chunk_base)
+    nc = jnp.asarray(ts.nc)
+    # first_visit[t]: tile t's first chunk is NOT shared with tile t-1's
+    # last visited chunk (self-loops guarantee nc >= 1 for every tile)
+    fv = jnp.concatenate([
+        jnp.ones((1,), jnp.int32),
+        (cb[1:] != cb[:-1] + nc[:-1] - 1).astype(jnp.int32)])
 
-    def idx_edges(t, c, cb, nc):
+    def idx_edges(t, c, cb, nc, fv):
         return (jnp.minimum(cb[t] + c, n_chunks - 1), 0)
 
-    red, ds = pl.pallas_call(
-        functools.partial(_bwd_kernel, h=n_heads, c=c_feat, c_pad=c_pad),
+    def idx_packed(t, c, cb, nc, fv):
+        # inactive cells clamp to the tile's last active chunk so block
+        # visits stay consecutive across the tile boundary
+        return (jnp.minimum(cb[t] + c, cb[t] + nc[t] - 1), 0)
+
+    dss, packed = pl.pallas_call(
+        functools.partial(_bwd_row_kernel, h=n_heads, c=c_feat, c_pad=c_pad),
         grid_spec=pltpu.PrefetchScalarGridSpec(
-            num_scalar_prefetch=2,
+            num_scalar_prefetch=3,
             grid=(ts.n_tiles, ts.max_chunks),
             in_specs=[
                 pl.BlockSpec((1, CHUNK // 128, 128),
-                             lambda t, c, cb, nc: (
+                             lambda t, c, cb, nc, fv: (
                                  jnp.minimum(cb[t] + c, n_chunks - 1), 0, 0)),
-                pl.BlockSpec((1, CHUNK // 128, 128),
-                             lambda t, c, cb, nc: (
-                                 jnp.minimum(cb[t] + c, n_chunks - 1), 0, 0)),
-                pl.BlockSpec((CHUNK, ge.shape[1]), idx_edges),
-                pl.BlockSpec((CHUNK, c_pad), idx_edges),
+                pl.BlockSpec((R, gm.shape[1]),
+                             lambda t, c, cb, nc, fv: (t, 0)),   # gm tile
+                pl.BlockSpec((CHUNK, c_pad), idx_edges),         # xc chunk
             ],
             out_specs=[
-                pl.BlockSpec((R, c_pad), lambda t, c, *_: (t, 0)),
-                pl.BlockSpec(
-                    (CHUNK, 128),
-                    functools.partial(
-                        lambda mc, t, c, *_: (t * mc + c, 0), ts.max_chunks)),
+                pl.BlockSpec((R, 128), lambda t, c, *_: (t, 0)),
+                pl.BlockSpec((CHUNK, c_pad), idx_packed),
             ],
         ),
         out_shape=[
-            jax.ShapeDtypeStruct((ts.n_tiles * R, c_pad), jnp.float32),
-            jax.ShapeDtypeStruct((ts.n_tiles * ts.max_chunks * CHUNK, 128),
-                                 xgc.dtype),
+            jax.ShapeDtypeStruct((ts.n_tiles * R, 128), jnp.float32),
+            jax.ShapeDtypeStruct((e_pad, c_pad), xc.dtype),
         ],
-    )(jnp.asarray(ts.chunk_base), jnp.asarray(ts.nc), key_mat, krow_mat,
-      ge, xgc)
-    return red, ds
+    )(cb, nc, fv, krow_mat, gm, xc)
+    return dss, packed

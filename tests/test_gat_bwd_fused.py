@@ -38,7 +38,6 @@ def _grads(g, x, s_src, s_dst, wa, wr):
 
 def test_fused_bwd_matches_fallback():
     g, x, s_src, s_dst, wa, wr = _setup()
-    assert g.ct_slot_rs is not None
 
     want = _grads(g, x, s_src, s_dst, wa, wr)   # CPU -> XLA fallback
 
@@ -60,7 +59,7 @@ def test_fused_bwd_matches_fallback():
 
 
 def test_fused_bwd_with_spill_and_hubs():
-    """A hub-heavy graph forces ct-spill edges through the XLA tail."""
+    """A hub-heavy graph forces rt/ct-spill edges through the XLA tails."""
     rng = np.random.default_rng(3)
     n = 260
     tri = [(int(rng.integers(n)), 0, 7) for _ in range(400)]        # hub col
@@ -94,14 +93,21 @@ def test_fused_bwd_with_spill_and_hubs():
                                    rtol=1e-4, atol=1e-4, err_msg=name)
 
 
-def test_slot_map_covers_all_nonspill_edges():
+def test_row_tile_chunks_cover_all_nonspill_edges():
+    """Invariants the packed-output block scheme relies on: every real
+    edge is either inside its owning row-tile's chunk range or an rt-spill
+    position, tiles are never empty, and chunk bases only move forward
+    (so boundary-block visits are consecutive grid cells)."""
+    from snag_tpu.ops.pallas.tile_segment import CHUNK, R
     g, *_ = _setup(seed=9)
-    slot = np.asarray(g.ct_slot_rs)
-    spill_rs = np.asarray(g.ct_spill_rs_pos[:g.ct_n_spill])
+    cb = np.asarray(g.rt_chunk_base, np.int64)
+    nc = np.asarray(g.rt_nc, np.int64)
+    spill = set(np.asarray(g.rt_spill_sel[:g.rt_n_spill]).tolist())
+    row = np.asarray(g.row)
     mask = np.asarray(g.mask)
-    uncovered = (slot < 0) & mask
-    # every real, uncovered edge must be a spill edge
-    assert set(np.nonzero(uncovered)[0]) <= set(spill_rs.tolist())
-    # slots are unique (no two edges share a slot)
-    live = slot[slot >= 0]
-    assert len(np.unique(live)) == len(live)
+    assert (nc >= 1).all()
+    assert (cb[1:] >= cb[:-1] + nc[:-1] - 1).all()
+    for p in np.nonzero(mask)[0]:
+        t = row[p] // R
+        lo, hi = cb[t] * CHUNK, (cb[t] + nc[t]) * CHUNK
+        assert (lo <= p < hi) or p in spill
