@@ -162,6 +162,10 @@ class Config:
     # encoder still runs full-graph; projections/fusion/losses run at
     # (2B,...) instead of (N,...)) — gradient-identical to full encoding
     batch_encode: int = 1
+    # SNAG: compute GMI's two joint ICLs from the shared per-modality
+    # similarity blocks instead of explicit (B, M*d) joint embeddings
+    # (losses/contrastive.snag_bundle_losses) — mathematically identical
+    fused_snag_loss: int = 1
     checkpoint_every: int = 0        # save full train-state every N epochs
     resume_from: str = ""            # checkpoint path to resume
     # synthetic-dataset knobs (data_choice == SYNTH)
@@ -306,6 +310,7 @@ def build_argparser() -> argparse.ArgumentParser:
     p.add_argument("--remat", type=int, default=d.remat)
     p.add_argument("--fused_mformer", type=int, default=d.fused_mformer)
     p.add_argument("--batch_encode", type=int, default=d.batch_encode)
+    p.add_argument("--fused_snag_loss", type=int, default=d.fused_snag_loss)
     p.add_argument("--checkpoint_every", type=int, default=d.checkpoint_every)
     p.add_argument("--resume_from", type=str, default=d.resume_from)
     p.add_argument("--synth_ents", type=int, default=d.synth_ents)

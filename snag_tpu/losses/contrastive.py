@@ -371,6 +371,152 @@ def icl_loss_stacked(
     return _icl_xent_batched(zis, zjs, None, valid, tau, ab_weight).sum()
 
 
+def _bundle_channels(zis, zjs, a_i, a_j, beta, tau, valid):
+    """Dense (M+2, 2B, 2B) channel logits from the shared modality
+    similarities: [per-modality | attention-mix | fz-mix].  Fallback /
+    test-reference formulation of the factored SNAG bundle."""
+    m, b, d = zis.shape
+    z = jnp.concatenate([zis, zjs], axis=1)                     # (M, 2B, d)
+    k = jnp.einsum("mbd,mcd->mbc", z, z,
+                   preferred_element_type=jnp.float32)          # unscaled
+    a2 = jnp.concatenate([a_i, a_j], axis=0).astype(jnp.float32)  # (2B, M)
+    mix_a = jnp.einsum("bm,cm,mbc->bc", a2, a2, k)
+    mix_f = jnp.einsum("m,mbc->bc", beta.astype(jnp.float32), k)
+    s = jnp.concatenate([k, mix_a[None], mix_f[None]], axis=0) / tau
+    n2 = 2 * b
+    eye2 = jnp.eye(n2, dtype=jnp.float32)
+    s = s - eye2 * LARGE_NUM
+    if valid is not None:
+        v2 = jnp.concatenate([valid, valid])
+        s = s + jnp.where(v2[None, None, :], 0.0, -LARGE_NUM)
+    return s
+
+
+def _bundle_pos(zis, zjs, a_i, a_j, beta, tau):
+    posk = jnp.einsum("mbd,mbd->mb", zis, zjs,
+                      preferred_element_type=jnp.float32)       # (M, B)
+    pos_a = jnp.einsum("bm,bm,mb->b", a_i.astype(jnp.float32),
+                       a_j.astype(jnp.float32), posk)
+    pos_f = jnp.einsum("m,mb->b", beta.astype(jnp.float32), posk)
+    return jnp.concatenate([posk, pos_a[None], pos_f[None]], axis=0) / tau
+
+
+def _bundle_weights(w_min, valid, m, b):
+    vf = (jnp.ones((b,), jnp.float32) if valid is None
+          else valid.astype(jnp.float32))
+    wm = jnp.ones((m, b), jnp.float32) if w_min is None else w_min
+    wt = jnp.concatenate([wm * vf[None, :], vf[None, :], vf[None, :]],
+                        axis=0)                                 # (M+2, B)
+    denom = jnp.maximum(vf.sum(), 1.0) if valid is not None else \
+        jnp.float32(b)
+    return wt, vf, denom
+
+
+def _bundle_dense(zis, zjs, a_i, a_j, beta, w_min, valid, tau, ab_weight):
+    m, b, d = zis.shape
+    s = _bundle_channels(zis, zjs, a_i, a_j, beta, tau, valid)
+    pos = _bundle_pos(zis, zjs, a_i, a_j, beta, tau)
+    lse = jax.scipy.special.logsumexp(s, axis=2)                # (M+2, 2B)
+    per_a = lse[:, :b] - pos
+    per_b = lse[:, b:] - pos
+    wt, _, denom = _bundle_weights(w_min, valid, m, b)
+    return (ab_weight * (per_a * wt).sum(axis=1)
+            + (1 - ab_weight) * (per_b * wt).sum(axis=1)) / denom
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(7, 8))
+def _bundle_streamed(zis, zjs, a_i, a_j, beta, w_min, valid, tau, ab_weight):
+    return _bundle_str_fwd(zis, zjs, a_i, a_j, beta, w_min, valid, tau,
+                           ab_weight)[0]
+
+
+def _bundle_pack(x_a, x_b, b, bp):
+    pad = jnp.zeros((x_a.shape[0], bp - b), jnp.float32)
+    return jnp.concatenate([x_a.astype(jnp.float32), pad,
+                            x_b.astype(jnp.float32), pad], axis=1)
+
+
+def _bundle_str_fwd(zis, zjs, a_i, a_j, beta, w_min, valid, tau, ab_weight):
+    from snag_tpu.ops.pallas import snag_loss_kernel as sk
+    m, b, d = zis.shape
+    z, vcol, bp = sk._stack_z(zis, zjs, valid)
+    alpha = jnp.zeros((2 * bp, 128), jnp.float32)
+    alpha = alpha.at[:b, :m].set(a_i.astype(jnp.float32))
+    alpha = alpha.at[bp:bp + b, :m].set(a_j.astype(jnp.float32))
+    beta_arr = jnp.zeros((1, 128), jnp.float32).at[0, :m].set(
+        beta.astype(jnp.float32))
+    lse = sk.mixture_lse(z, alpha, beta_arr, vcol, m, tau)      # (8, 2Bp)
+    pos = _bundle_pos(zis, zjs, a_i, a_j, beta, tau)            # (M+2, B)
+    per_a = lse[:m + 2, :b] - pos
+    per_b = lse[:m + 2, bp:bp + b] - pos
+    wt, vf, denom = _bundle_weights(w_min, valid, m, b)
+    loss = (ab_weight * (per_a * wt).sum(axis=1)
+            + (1 - ab_weight) * (per_b * wt).sum(axis=1)) / denom
+    res = (zis, zjs, a_i, a_j, beta, w_min, valid, per_a, per_b, pos, wt,
+           vf, denom)
+    return loss, res
+
+
+def _bundle_str_bwd(tau, ab_weight, res, g):
+    from snag_tpu.ops.pallas import snag_loss_kernel as sk
+    (zis, zjs, a_i, a_j, beta, w_min, valid, per_a, per_b, pos, wt, vf,
+     denom) = res
+    m, b, d = zis.shape
+    z, vcol, bp = sk._stack_z(zis, zjs, valid)
+    alpha = jnp.zeros((2 * bp, 128), jnp.float32)
+    alpha = alpha.at[:b, :m].set(a_i.astype(jnp.float32))
+    alpha = alpha.at[bp:bp + b, :m].set(a_j.astype(jnp.float32))
+    beta_arr = jnp.zeros((1, 128), jnp.float32).at[0, :m].set(
+        beta.astype(jnp.float32))
+
+    ca = (g[:, None] * ab_weight) * wt / denom                  # (M+2, B)
+    cb = (g[:, None] * (1 - ab_weight)) * wt / denom
+    cpad = jnp.zeros((sk.C_PAD - (m + 2), 2 * bp), jnp.float32)
+    coef = jnp.concatenate([_bundle_pack(ca, cb, b, bp), cpad], axis=0)
+    lse = jnp.concatenate(
+        [_bundle_pack(per_a + pos, per_b + pos, b, bp), cpad], axis=0)
+    dz, da, db = sk.mixture_grad(z, alpha, beta_arr, lse, coef, vcol, m,
+                                 tau)
+    d_zis = dz[:, :b].astype(zis.dtype)
+    d_zjs = dz[:, bp:bp + b].astype(zjs.dtype)
+    d_ai = da[:b, :m].astype(a_i.dtype)
+    d_aj = da[bp:bp + b, :m].astype(a_j.dtype)
+    d_beta = db[0, :m].astype(beta.dtype)
+    if w_min is None:
+        d_w = None
+    else:
+        base = (ab_weight * per_a[:m] + (1 - ab_weight) * per_b[:m]) \
+            * vf[None, :]
+        d_w = g[:m, None] * base / denom
+    d_valid = (None if valid is None
+               else np.zeros(valid.shape, dtype=jax.dtypes.float0))
+    return d_zis, d_zjs, d_ai, d_aj, d_beta, d_w, d_valid
+
+
+_bundle_streamed.defvjp(_bundle_str_fwd, _bundle_str_bwd)
+
+
+def snag_bundle_losses(zis, zjs, a_i, a_j, beta, w_min=None, valid=None,
+                       tau: float = 0.1, ab_weight: float = 0.5):
+    """(M+2,) NT-Xent losses over the shared modality similarities:
+    per-modality ICL (ECIA channels, weighted by ``w_min``) plus SNAG's
+    two joint-path ICLs (GMI) computed from the FACTORED similarities
+    instead of explicit (B, M*d) joint embeddings (module comment of
+    ops/pallas/snag_loss_kernel.py; reference math SNAG.py:106,
+    SNAG_tools.py:44-49, SNAG_loss.py:58-128).
+
+    zis/zjs: (M, B, d) unit rows; a_i/a_j: (B, M) L2-normalized per-row
+    attention weights; beta: (M,) fz mixture (sums to 1); w_min: (M, B).
+    """
+    from snag_tpu.ops.pallas import snag_loss_kernel as sk
+    m, b, d = zis.shape
+    if sk.streaming_ok(m, b, d):
+        return _bundle_streamed(zis, zjs, a_i, a_j, beta, w_min, valid,
+                                tau, ab_weight)
+    return _bundle_dense(zis, zjs, a_i, a_j, beta, w_min, valid, tau,
+                         ab_weight)
+
+
 def ial_loss(
     src_emb: jnp.ndarray,
     tar_emb: jnp.ndarray,

@@ -57,6 +57,9 @@ class EncoderOutput(NamedTuple):
     joint_fz: Optional[jnp.ndarray]
     hidden: Optional[jnp.ndarray]
     weight_norm: Optional[jnp.ndarray]
+    # (6,) softmax(weight_raw) — lets SNAG's fused loss bundle rebuild the
+    # fz joint similarity from per-modality blocks (losses/contrastive)
+    weight_fz: Optional[jnp.ndarray] = None
 
     def modal_list(self):
         """[img, att, rel, gph, name, char] — the fusion input order
@@ -192,8 +195,9 @@ class MultiModalEncoder(nn.Module):
             for e in (gph, img, rel, att, name, char))
 
         fusion_inputs = [img, att, rel, gph, name, char]
+        weight_fz = None
         if self.fusion_kind in ("mformer", "mformer_single"):
-            joint, joint_fz, hidden, weight_norm = self.fusion(
+            joint, joint_fz, hidden, weight_norm, weight_fz = self.fusion(
                 fusion_inputs, deterministic=deterministic)
         elif self.fusion_kind == "mean":
             joint = self.fusion(fusion_inputs)
@@ -203,7 +207,8 @@ class MultiModalEncoder(nn.Module):
 
         return EncoderOutput(gph=gph, img=img, rel=rel, att=att, name=name,
                              char=char, joint=joint, joint_fz=joint_fz,
-                             hidden=hidden, weight_norm=weight_norm)
+                             hidden=hidden, weight_norm=weight_norm,
+                             weight_fz=weight_fz)
 
 
 def batch_rows(links: jnp.ndarray):

@@ -140,6 +140,60 @@ class SNAG(nn.Module):
         losses = [one(e, m) for m, e in named]
         return self.multi_loss_layer(losses)
 
+    def _fused_bundle(self, enc, links, valid):
+        """GMI + ECIA from the shared per-modality similarity blocks.
+
+        SNAG's two joint similarities factor over the SAME per-modality
+        blocks ECIA computes (the joint embedding is a weighted concat of
+        unit modality rows, ops/fusion.py:213-226), so one streaming pass
+        yields all M+2 NT-Xent channels — the (B, M*d) joint matmul chains
+        never run (ops/pallas/snag_loss_kernel.py; matches SNAG.py:106 +
+        143-162 exactly, up to fp, assuming no all-zero modality rows).
+        Returns (gmi, ecia) or None when the factorization doesn't apply.
+        """
+        cfg = self.cfg
+        if (not getattr(cfg, "fused_snag_loss", 1)
+                or enc.weight_norm is None or enc.weight_fz is None):
+            return None
+        named = [("gph", enc.gph), ("rel", enc.rel), ("att", enc.att),
+                 ("img", enc.img), ("name", enc.name), ("char", enc.char)]
+        active = [(m, e) for m, e in named if e is not None]
+        if len({e.shape[-1] for _, e in active}) != 1:
+            return None
+        from snag_tpu.losses.contrastive import snag_bundle_losses
+        md = self._matmul_dtype()
+        stack = jnp.stack([l2norm(e) for _, e in active], axis=0)
+        zis = stack[:, links[:, 0], :]
+        zjs = stack[:, links[:, 1], :]
+        if md is not None:
+            zis = zis.astype(md)
+            zjs = zjs.astype(md)
+        mod_num = enc.weight_norm.shape[1]
+        cols = jnp.asarray([weight_column(cfg, m) for m, _ in active])
+        wi = enc.weight_norm[links[:, 0]][:, cols]           # (B, M)
+        wj = enc.weight_norm[links[:, 1]][:, cols]
+        w_min = (jnp.minimum(wi, wj) * mod_num).T            # (M, B)
+        # mixture coefficients: a = w / ||w||, beta = u^2 / sum u^2
+        # (joint rows are unit modality rows scaled by these weights)
+        a_i = wi / jnp.linalg.norm(wi, axis=1, keepdims=True)
+        a_j = wj / jnp.linalg.norm(wj, axis=1, keepdims=True)
+        u = enc.weight_fz[cols]
+        beta = u * u / jnp.sum(u * u)
+        per = snag_bundle_losses(zis, zjs, a_i, a_j, beta, w_min=w_min,
+                                 valid=valid, tau=cfg.tau,
+                                 ab_weight=cfg.ab_weight)
+        m_act = len(active)
+        gmi = per[m_act] + per[m_act + 1]
+        losses = []
+        k = 0
+        for m, e in named:
+            if e is None:
+                losses.append(0.0)
+            else:
+                losses.append(per[k])
+                k += 1
+        return gmi, self.multi_loss_layer(losses)
+
     def __call__(self, links, valid, feats: FeaturePack, graph: Graph,
                  entity_noise_key: Optional[jax.Array] = None,
                  deterministic: bool = False):
@@ -164,15 +218,18 @@ class SNAG(nn.Module):
 
         md = self._matmul_dtype()
         # neg_cross_kg reaches the joint loss as in the reference (SNAG.py:51)
-        # — and is inert there too (see icl_loss docstring).  The two joint
-        # ICLs batch through one streaming (2, 2B, 2B) einsum.
-        from snag_tpu.losses.contrastive import icl_loss_stacked
-        gmi = icl_loss_stacked((enc.joint, enc.joint_fz), links, tau=cfg.tau,
-                               ab_weight=cfg.ab_weight, valid=valid,
-                               matmul_dtype=md)
-        ecia = self.inner_view_loss(enc.gph, enc.rel, enc.att, enc.img,
-                                    enc.name, enc.char, links, valid,
-                                    weight_norm=enc.weight_norm)
+        # — and is inert there too (see icl_loss docstring).
+        bundle = self._fused_bundle(enc, links, valid)
+        if bundle is not None:
+            gmi, ecia = bundle
+        else:
+            from snag_tpu.losses.contrastive import icl_loss_stacked
+            gmi = icl_loss_stacked((enc.joint, enc.joint_fz), links,
+                                   tau=cfg.tau, ab_weight=cfg.ab_weight,
+                                   valid=valid, matmul_dtype=md)
+            ecia = self.inner_view_loss(enc.gph, enc.rel, enc.att, enc.img,
+                                        enc.name, enc.char, links, valid,
+                                        weight_norm=enc.weight_norm)
         iir = self.inner_view_loss(gph_h, rel_h, att_h, img_h, name_h, char_h,
                                    links, valid)
 

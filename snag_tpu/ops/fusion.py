@@ -216,6 +216,7 @@ class MformerFusion(nn.Module):
             axis=1)
 
         joint_emb_fz = None
+        weight_fz = None
         if self.with_fz:
             weight_raw = self.param("weight_raw", jax.nn.initializers.ones, (6,))
             # softmax spans all 6 slots even when fewer are active (parity
@@ -224,7 +225,7 @@ class MformerFusion(nn.Module):
             joint_emb_fz = jnp.concatenate(
                 [weight_fz[i] * normed[i] for i in range(modal_num)], axis=1)
 
-        return joint_emb, joint_emb_fz, hidden, weight_norm
+        return joint_emb, joint_emb_fz, hidden, weight_norm, weight_fz
 
 
 class MeanFusion(nn.Module):

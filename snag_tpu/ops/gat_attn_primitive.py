@@ -3,13 +3,13 @@
 ``gat_attention(x, s_src, s_dst, graph)`` computes the complete sparse
 attention + aggregation of a diag-mode GAT layer (reference
 SNAG_MMEA/model/layers.py:68-94) in one Pallas launch (see
-ops/pallas/gat_attention.py).  The custom backward mirrors the forward's
-row-tile structure (ops/pallas/gat_bwd.py): the cotangent block
-[G | r | s_src] is TILE-loaded (never edge-gathered), the forward's
-row-sorted xc = [x | s_dst][col] gather is reused as a residual, and
-d_s_src accumulates inside the kernel.  The only edge-order data movement
-in the whole backward is ONE (E, c_pad) permutation gather of the packed
-[d_xc | d_score] block into column order for the col-tile reduce.
+ops/pallas/gat_attention.py).  The custom backward is ONE bidirectional
+row-tile launch (ops/pallas/gat_bwd.py): undirected-graph symmetry turns
+the column reductions (d_x, d_s_dst) into row reductions over the reverse
+edges, so all three gradients accumulate into tile-indexed outputs with
+no permutation between edge sort orders.  The forward's row-sorted
+xc = [x | s_dst][col] gather is reused as a residual; the only other
+edge-order data movement is the col-indexed [G | r | s_src] gather.
 
 Narrow (E, H) gathers/reduces — latency-bound on TPU, ~3-6 ms each — do
 not appear anywhere.
@@ -144,33 +144,40 @@ def _bwd(res, cts):
         ts = _row_ts(graph)
         n_pad = ts.n_tiles * 128
         gm_full = jnp.pad(gm, ((0, n_pad - n), (0, 0)))
-        # barrier: gm feeds both the kernel and the spill gather — without
-        # it XLA duplicates the concat into each consumer
+        # barrier: gm feeds the kernel tile, the col gather, and the spill
+        # tail — without it XLA duplicates the concat into each consumer
         gm_full = jax.lax.optimization_barrier(gm_full)
-        dss, packed = fused_gat_backward_row(gm_full, xc, krow, ts, h, c)
+        gcol = gm_full[graph.col]                    # (E, g_pad) by column
+        xg, _ = _build_xg(x, s_dst)
+        xs_full = jnp.pad(xg, ((0, n_pad - n), (0, 0)))
+        dss, dxd = fused_gat_backward_row(gm_full, xs_full, xc, gcol, krow,
+                                          ts, h, c)
         d_s_src = dss[:n, :h]
+        d_x = dxd[:n, :c]
+        d_s_dst = dxd[:n, c:c + h]
         if ts.n_spill:
             # edges past a tile's chunk cap: same math via the shared
-            # edgewise helper, scattered into the packed block (the kernel
-            # never writes spill positions)
+            # edgewise helper on the few spilled rows, segment-summed in
+            # (keys = the spilled edges' rows, already sorted)
             sel = jnp.asarray(ts.spill_sel)
+            srow = jnp.asarray(ts.spill_row)
             mf_s = (krow[sel] >= 0).astype(jnp.float32)[:, None]
             ge_s = gm_full[jnp.maximum(krow[sel], 0)]
-            _, d_score_s, d_xc_s = edgewise_bwd(ge_s, xc[sel], mf_s, h, c)
-            pk_s = jnp.concatenate(
-                [d_xc_s, d_score_s.astype(d_xc_s.dtype),
-                 jnp.zeros((sel.shape[0], c_pad - c - h), d_xc_s.dtype)],
-                axis=1)
-            packed = packed.at[sel].set(pk_s)
+            _, d_score_f, _ = edgewise_bwd(ge_s, xc[sel], mf_s, h, c)
             d_s_src = d_s_src + jax.ops.segment_sum(
-                d_score_s, jnp.asarray(ts.spill_row),
-                num_segments=graph.n_nodes, indices_are_sorted=True)
-        red = _reduce_edges(packed[graph.col_order], graph.col_sorted,
-                            graph, use_row=False)
-        d_x = red[:, :c].astype(x.dtype)
-        d_s_dst = red[:, c:c + h].astype(s_dst.dtype)
-        return (d_x, d_s_src.astype(s_src.dtype), d_s_dst,
-                _graph_zeros(graph))
+                d_score_f, srow, num_segments=graph.n_nodes,
+                indices_are_sorted=True)
+            _, d_score_r, d_xr = edgewise_bwd(
+                gcol[sel], xs_full[jnp.maximum(krow[sel], 0)], mf_s, h, c)
+            val_s = jnp.concatenate(
+                [d_xr.astype(jnp.float32), d_score_r], axis=1)
+            red_s = jax.ops.segment_sum(val_s, srow,
+                                        num_segments=graph.n_nodes,
+                                        indices_are_sorted=True)
+            d_x = d_x + red_s[:, :c]
+            d_s_dst = d_s_dst + red_s[:, c:c + h]
+        return (d_x.astype(x.dtype), d_s_src.astype(s_src.dtype),
+                d_s_dst.astype(s_dst.dtype), _graph_zeros(graph))
 
     # ---- XLA fallback: col-sorted edgewise + two tile/segment reduces ----
     ge = jax.lax.optimization_barrier(gm[graph.row_cs])       # (E, g_pad)
