@@ -53,14 +53,22 @@ class BertSelfAttention(nn.Module):
 
     @nn.compact
     def __call__(self, hidden, *, deterministic: bool = True):
+        from snag_tpu.ops import fused_bert as fb
         d, H = self.hidden_size, self.num_heads
         assert d % H == 0
         dh = d // H
         N, M, _ = hidden.shape
 
-        q = _tdense(d, d, "query", self.dtype)(hidden)
-        k = _tdense(d, d, "key", self.dtype)(hidden)
-        v = _tdense(d, d, "value", self.dtype)(hidden)
+        # one (d, 3d) matmul instead of three (d, d): hidden is read once
+        # and the backward emits ONE weight-grad reduce + ONE dX matmul
+        # (param tree unchanged — the holders mirror nn.Dense's scopes)
+        wq, bq = fb.LinParams(d, d, name="query")()
+        wk, bk = fb.LinParams(d, d, name="key")()
+        wv, bv = fb.LinParams(d, d, name="value")()
+        wqkv = jnp.concatenate([wq, wk, wv], axis=1).astype(self.dtype)
+        bqkv = jnp.concatenate([bq, bk, bv]).astype(self.dtype)
+        qkv = hidden @ wqkv + bqkv
+        q, k, v = jnp.split(qkv, 3, axis=-1)
 
         def split(x):  # (N, M, d) -> (N, H, M, dh)
             return x.reshape(N, M, H, dh).transpose(0, 2, 1, 3)
