@@ -1,0 +1,19 @@
+#!/bin/bash
+# Pending TPU measurements queue — run once the axon tunnel is back.
+# Usage: bash scripts/tpu_queue.sh [outdir]
+set -u
+OUT=${1:-/tmp/tpu_queue_$(date +%H%M)}
+mkdir -p "$OUT"
+export PYTHONPATH=/root/.axon_site:/root/repo
+cd /root/repo
+
+echo "=== 1. tiny-attn + QKV-fold A/B (bench geometry) ==="
+python scripts/ab_tiny_attn.py 2>&1 | tee "$OUT/ab_tiny_attn.log"
+
+echo "=== 2. bench.py (headline) ==="
+python bench.py 2>&1 | tee "$OUT/bench.log"
+
+echo "=== 3. 100K-scale check ==="
+python scripts/bench_100k.py 2>&1 | tee "$OUT/bench_100k.log"
+
+echo "=== done; logs in $OUT ==="

@@ -37,6 +37,42 @@ def l2norm(x: jnp.ndarray, axis: int = -1, eps: float = 1e-12) -> jnp.ndarray:
     return x / n
 
 
+# tiny-M attention core formulation: "broadcast" (default) or "unrolled".
+# Both are VPU multiply-reduce (batched MxM matmuls lower to convolutions
+# with terrible MXU utilisation); broadcast keeps the op count constant in
+# M, unrolled emits M^2 small fusions.  Module-level so A/B scripts can
+# flip it per-jit without config plumbing.
+TINY_ATTN_IMPL = "broadcast"
+
+
+def _tiny_scores_ctx(q, k, v, M, dh, dropout, deterministic):
+    scale = 1.0 / np.sqrt(dh)
+    if TINY_ATTN_IMPL == "broadcast":
+        scores = (q[:, :, :, None, :].astype(jnp.float32)
+                  * k[:, :, None, :, :].astype(jnp.float32)
+                  ).sum(-1) * scale                         # (N, H, M, M)
+        probs = jax.nn.softmax(scores, axis=-1)
+        pd = dropout(probs, deterministic=deterministic)
+        pdv = pd.astype(v.dtype)
+        ctx = (pdv[:, :, :, :, None]
+               * v[:, :, None, :, :]).sum(-2)               # (N, H, M, dh)
+    else:
+        scores = jnp.stack(
+            [jnp.stack(
+                [(q[:, :, qi, :].astype(jnp.float32)
+                  * k[:, :, ki, :].astype(jnp.float32)).sum(-1) * scale
+                 for ki in range(M)], axis=-1)
+             for qi in range(M)], axis=-2)                  # (N, H, M, M)
+        probs = jax.nn.softmax(scores, axis=-1)
+        pd = dropout(probs, deterministic=deterministic)
+        pdv = pd.astype(v.dtype)
+        ctx = jnp.stack(
+            [sum(pdv[:, :, qi, ki, None] * v[:, :, ki, :]
+                 for ki in range(M))
+             for qi in range(M)], axis=2)                   # (N, H, M, dh)
+    return probs, ctx
+
+
 def _tdense(features: int, in_features: int, name: str, dtype=jnp.float32):
     return nn.Dense(
         features, name=name, dtype=dtype,
@@ -75,23 +111,8 @@ class BertSelfAttention(nn.Module):
 
         q, k, v = split(q), split(k), split(v)
         if M <= 6:
-            # tiny token axis: batched (M x M) matmuls lower to convolutions
-            # with terrible MXU utilisation (traced); unrolled
-            # multiply-reduce runs on the VPU at memory speed
-            scale = 1.0 / np.sqrt(dh)
-            scores = jnp.stack(
-                [jnp.stack(
-                    [(q[:, :, qi, :].astype(jnp.float32)
-                      * k[:, :, ki, :].astype(jnp.float32)).sum(-1) * scale
-                     for ki in range(M)], axis=-1)
-                 for qi in range(M)], axis=-2)              # (N, H, M, M)
-            probs = jax.nn.softmax(scores, axis=-1)
-            pd = nn.Dropout(0.1)(probs, deterministic=deterministic)
-            pdv = pd.astype(v.dtype)
-            ctx = jnp.stack(
-                [sum(pdv[:, :, qi, ki, None] * v[:, :, ki, :]
-                     for ki in range(M))
-                 for qi in range(M)], axis=2)               # (N, H, M, dh)
+            probs, ctx = _tiny_scores_ctx(
+                q, k, v, M, dh, nn.Dropout(0.1), deterministic)
         else:
             scores = jnp.einsum("nhqd,nhkd->nhqk", q, k,
                                 preferred_element_type=jnp.float32) / np.sqrt(dh)
