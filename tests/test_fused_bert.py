@@ -135,3 +135,35 @@ def test_fused_full_snag_model_matches_eager():
                     jax.tree_util.tree_leaves(g1)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=5e-4, atol=5e-4)
+
+
+def test_tiny_attn_broadcast_matches_unrolled():
+    """Both tiny-M attention formulations (values AND grads) agree; the
+    unrolled variant stays covered while broadcast is the default."""
+    from snag_tpu.ops import fusion
+    from snag_tpu.ops.fusion import BertSelfAttention
+
+    rng = np.random.default_rng(0)
+    N, M, d, H = 64, 4, 32, 2
+    x = jnp.asarray(rng.normal(size=(N, M, d)), jnp.float32)
+    mod = BertSelfAttention(d, H)
+    params = mod.init(jax.random.PRNGKey(0), x)
+
+    def val_and_grads():
+        def f(p, x):
+            ctx, probs = mod.apply(p, x)
+            return (ctx ** 2).sum() + (probs ** 2).sum()
+        v, g = jax.value_and_grad(f)(params, x)
+        return v, jax.tree_util.tree_leaves(g)
+
+    assert fusion.TINY_ATTN_IMPL == "broadcast"   # default
+    try:
+        vb, gb = val_and_grads()
+        fusion.TINY_ATTN_IMPL = "unrolled"
+        vu, gu = val_and_grads()
+    finally:
+        fusion.TINY_ATTN_IMPL = "broadcast"
+    np.testing.assert_allclose(float(vb), float(vu), rtol=1e-6)
+    for a, b in zip(gb, gu):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-4, atol=1e-5)
