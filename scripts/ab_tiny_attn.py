@@ -73,8 +73,10 @@ def main():
     nfeats, _ = noise_fn(state.base_key, feats, jnp.asarray(0))
     jax.block_until_ready(nfeats.img)
 
-    for impl in ("broadcast", "unrolled", "broadcast"):
+    for impl, fold in (("broadcast", True), ("unrolled", True),
+                       ("broadcast", False), ("broadcast", True)):
         fusion.TINY_ATTN_IMPL = impl
+        fusion.FOLD_QKV = fold
 
         @jax.jit
         def run(params, nfeats, graph, links, valid, k0):
@@ -99,7 +101,7 @@ def main():
 
         ms = chain_ms(run, params, nfeats, graph, links, valid, key0)
         print(f"layers={n_layers} heads={n_heads} surface={surface} "
-              f"impl={impl}: model fwd+bwd {ms:8.2f} ms")
+              f"impl={impl} fold_qkv={fold}: model fwd+bwd {ms:8.2f} ms")
 
 
 if __name__ == "__main__":

@@ -44,6 +44,10 @@ def l2norm(x: jnp.ndarray, axis: int = -1, eps: float = 1e-12) -> jnp.ndarray:
 # flip it per-jit without config plumbing.
 TINY_ATTN_IMPL = "broadcast"
 
+# QKV projections as one (d, 3d) matmul (True) vs three (d, d) matmuls
+# (False) — same params either way; module-level for in-process A/B.
+FOLD_QKV = True
+
 
 def _tiny_scores_ctx(q, k, v, M, dh, dropout, deterministic):
     scale = 1.0 / np.sqrt(dh)
@@ -101,10 +105,15 @@ class BertSelfAttention(nn.Module):
         wq, bq = fb.LinParams(d, d, name="query")()
         wk, bk = fb.LinParams(d, d, name="key")()
         wv, bv = fb.LinParams(d, d, name="value")()
-        wqkv = jnp.concatenate([wq, wk, wv], axis=1).astype(self.dtype)
-        bqkv = jnp.concatenate([bq, bk, bv]).astype(self.dtype)
-        qkv = hidden @ wqkv + bqkv
-        q, k, v = jnp.split(qkv, 3, axis=-1)
+        if FOLD_QKV:
+            wqkv = jnp.concatenate([wq, wk, wv], axis=1).astype(self.dtype)
+            bqkv = jnp.concatenate([bq, bk, bv]).astype(self.dtype)
+            qkv = hidden @ wqkv + bqkv
+            q, k, v = jnp.split(qkv, 3, axis=-1)
+        else:
+            q = hidden @ wq.astype(self.dtype) + bq.astype(self.dtype)
+            k = hidden @ wk.astype(self.dtype) + bk.astype(self.dtype)
+            v = hidden @ wv.astype(self.dtype) + bv.astype(self.dtype)
 
         def split(x):  # (N, M, d) -> (N, H, M, dh)
             return x.reshape(N, M, H, dh).transpose(0, 2, 1, 3)
