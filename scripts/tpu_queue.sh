@@ -16,4 +16,7 @@ python bench.py 2>&1 | tee "$OUT/bench.log"
 echo "=== 3. 100K-scale check ==="
 python scripts/bench_100k.py 2>&1 | tee "$OUT/bench_100k.log"
 
+echo "=== 4. 100K tile-structure tuning sweep ==="
+python scripts/tune_100k.py 2>&1 | tee "$OUT/tune_100k.log"
+
 echo "=== done; logs in $OUT ==="
