@@ -53,3 +53,13 @@ def test_visual_pivot_induction():
     assert links.shape == (10, 2)
     correct = sum((int(l), int(r)) in set(ills) for l, r in links)
     assert correct >= 8  # near-identical features -> mostly true pairs
+
+
+def test_snag_remat_matches_baseline(synth_cfg, synth_data):
+    """--remat rematerializes GNN activations in the backward; it must be
+    semantics-preserving (same losses, same learning trajectory)."""
+    losses = {}
+    for remat in (0, 1):
+        cfg = dataclasses.replace(synth_cfg, remat=remat)
+        losses[remat] = _two_epochs(cfg, synth_data)
+    np.testing.assert_allclose(losses[0], losses[1], rtol=2e-5)
