@@ -104,6 +104,18 @@ def _run_reference(data_root, flags, extra=()):
     return h1, mrr, traj, out
 
 
+def _ref_loss_traj(out):
+    """Per-epoch training loss from the reference's tqdm description
+    (`Train | Ep [i/N] Step [...] LR [...] Loss x` — main.py:189; the value
+    is that epoch's summed batch loss, reset by acc_init each epoch)."""
+    per_ep = {}
+    for m in re.finditer(
+            r"Ep \[(\d+)/\d+\] Step \[\d+/\d+\] LR \[[\d.]+\] Loss ([\d.]+)",
+            out):
+        per_ep[int(m.group(1))] = float(m.group(2))
+    return [per_ep[e] for e in sorted(per_ep)]
+
+
 def _run_ours(data_root, flags, extra=()):
     import logging
 
@@ -122,18 +134,22 @@ def _run_ours(data_root, flags, extra=()):
     logger = create_logger(name=f"parity_{abs(hash(tuple(extra)))%10**6}")
 
     traj = []
+    loss_traj = []
 
     class _Grab(logging.Handler):
         def emit(self, record):
-            m = re.search(r"l2r: acc of top.*?mrr = ([\d.]+)",
-                          record.getMessage())
+            msg = record.getMessage()
+            m = re.search(r"l2r: acc of top.*?mrr = ([\d.]+)", msg)
             if m:
                 traj.append(float(m.group(1)))
+            m = re.search(r"Ep \[\d+/\d+\] Step \[\d+\].*?Loss ([\d.]+)", msg)
+            if m:
+                loss_traj.append(float(m.group(1)))
 
     logger.addHandler(_Grab())
     runner = Runner(cfg, logger)
     res = runner.run()
-    return float(res.acc_l2r[0]), float(res.mrr_l2r), traj
+    return float(res.acc_l2r[0]), float(res.mrr_l2r), traj, loss_traj
 
 
 @pytest.mark.skipif(not osp.exists(REF_MAIN),
@@ -148,8 +164,9 @@ def test_hard_point_parity_and_trajectory(tmp_path):
 
     flags = [f if f != "8" else "10" for f in FLAGS]   # epoch 8 -> 10
     flags[flags.index("--eval_epoch") + 1] = "5"
-    ref_h1, ref_mrr, ref_traj, _ = _run_reference(data_root, flags)
-    our_h1, our_mrr, our_traj = _run_ours(data_root, flags)
+    ref_h1, ref_mrr, ref_traj, ref_out = _run_reference(data_root, flags)
+    our_h1, our_mrr, our_traj, our_loss = _run_ours(
+        data_root, flags, ("--log_every", "1"))
 
     assert 0.2 < ref_mrr < 0.9, f"oracle saturated/broken: {ref_mrr}"
     assert abs(our_mrr - ref_mrr) < 0.05, (our_mrr, ref_mrr)
@@ -159,6 +176,24 @@ def test_hard_point_parity_and_trajectory(tmp_path):
     assert n >= 2, (ref_traj, our_traj)
     for a, b in zip(ref_traj[:n], our_traj[:n]):
         assert abs(a - b) < 0.10, (ref_traj, our_traj)
+
+    # Training-LOSS trajectory: catches loss-term bugs (e.g. tau, self-mask)
+    # that converged NT-Xent *rankings* are insensitive to.  Calibration at
+    # this operating point (2026-08-18): ref per-epoch loss 54.2->47.7
+    # (drop 6.4); ours 57.4->52.4 (drop 5.0); ours with tau broken 0.1->0.3
+    # 53.4->51.4 (drop 2.05, fails the drop-ratio gate).  Absolute values
+    # carry a seed/init offset of up to ~9% (seed 17 vs 3408 moves ours by
+    # +4), so the per-epoch bound is loose and the DROP ratio is the sharp
+    # discriminator.
+    ref_loss = _ref_loss_traj(ref_out)
+    assert len(ref_loss) >= 8 and len(our_loss) >= 8, (ref_loss, our_loss)
+    k = min(len(ref_loss), len(our_loss))
+    for a, b in zip(ref_loss[:k], our_loss[:k]):
+        assert abs(a - b) / max(a, b) < 0.20, (ref_loss, our_loss)
+    ref_drop = max(ref_loss) - ref_loss[-1]
+    our_drop = max(our_loss) - our_loss[-1]
+    assert our_drop > 0.5 * ref_drop, (ref_loss, our_loss)
+    assert ref_drop > 0.5 * our_drop, (ref_loss, our_loss)
 
 
 @pytest.mark.skipif(not osp.exists(REF_MAIN),
@@ -177,7 +212,7 @@ def test_il_stage_parity(tmp_path):
     flags[flags.index("--eval_epoch") + 1] = "4"
     il = ["--il", "--il_start", "3", "--semi_learn_step", "1"]
     ref_h1, ref_mrr, _, ref_out = _run_reference(data_root, flags, il)
-    our_h1, our_mrr, _ = _run_ours(data_root, flags, il)
+    our_h1, our_mrr, _, _ = _run_ours(data_root, flags, il)
 
     assert 0.2 < ref_mrr < 0.98, f"oracle saturated/broken: {ref_mrr}"
     assert abs(our_mrr - ref_mrr) < 0.06, (our_mrr, ref_mrr)
@@ -201,7 +236,7 @@ def test_surface_modality_parity(tmp_path):
     flags[flags.index("--epoch") + 1] = "10"
     flags[flags.index("--eval_epoch") + 1] = "5"
     ref_h1, ref_mrr, _, _ = _run_reference(data_root, flags)
-    our_h1, our_mrr, _ = _run_ours(data_root, flags)
+    our_h1, our_mrr, _, _ = _run_ours(data_root, flags)
 
     assert 0.2 < ref_mrr < 0.98, f"oracle saturated/broken: {ref_mrr}"
     assert abs(our_mrr - ref_mrr) < 0.05, (our_mrr, ref_mrr)
@@ -229,7 +264,7 @@ def test_other_model_families_parity(tmp_path, model, extra):
     if extra:
         flags[flags.index("--structure_encoder") + 1] = extra[1]
     ref_h1, ref_mrr, _, _ = _run_reference(data_root, flags)
-    our_h1, our_mrr, _ = _run_ours(data_root, flags)
+    our_h1, our_mrr, _, _ = _run_ours(data_root, flags)
 
     assert 0.05 < ref_mrr < 0.98, f"oracle saturated/broken: {ref_mrr}"
     assert abs(our_mrr - ref_mrr) < 0.06, (our_mrr, ref_mrr)
