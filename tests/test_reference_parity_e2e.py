@@ -195,6 +195,16 @@ def test_hard_point_parity_and_trajectory(tmp_path):
     assert our_drop > 0.5 * ref_drop, (ref_loss, our_loss)
     assert ref_drop > 0.5 * our_drop, (ref_loss, our_loss)
 
+    # Negative control: the oracle must CATCH a deliberately-broken loss
+    # term.  tau 0.1 -> 0.3 leaves the final MRR within tolerance (converged
+    # rankings are robust to it) but flattens the loss drop below the gate.
+    _, bad_mrr, _, bad_loss = _run_ours(
+        data_root, flags, ("--log_every", "1", "--tau", "0.3"))
+    bad_drop = max(bad_loss) - bad_loss[-1]
+    assert bad_drop < 0.5 * ref_drop, (
+        "oracle lost sensitivity: broken tau passed the drop gate",
+        ref_loss, bad_loss)
+
 
 @pytest.mark.skipif(not osp.exists(REF_MAIN),
                     reason="reference checkout not present")
