@@ -44,6 +44,7 @@ def export_reference_format(dest: str,
                             noise: float = 0.3,
                             mirror_p: float = 0.7,
                             unalignable_frac: float = 0.0,
+                            img_coverage: float = 0.9,
                             with_surface: bool = False) -> str:
     """Write the synthetic KG under ``dest``; returns the split directory.
 
@@ -59,7 +60,8 @@ def export_reference_format(dest: str,
         generate_synthetic_kg(n_ents=n_ents, n_rels=n_rels,
                               n_triples=n_triples, img_dim=img_dim,
                               seed=seed, noise=noise, mirror_p=mirror_p,
-                              unalignable_frac=unalignable_frac))
+                              unalignable_frac=unalignable_frac,
+                              img_coverage=img_coverage))
     split_dir = osp.join(dest, data_choice, data_split)
     os.makedirs(split_dir, exist_ok=True)
     os.makedirs(osp.join(dest, "pkls"), exist_ok=True)

@@ -157,12 +157,19 @@ def _csr_structure(keys: np.ndarray, n_nodes: int, e_pad: int):
 def build_graph(n_nodes: int, triples: Sequence[Tuple[int, int, int]],
                 pad_multiple: int = EDGE_PAD_MULTIPLE) -> Graph:
     """Build the normalized, padded, row-sorted edge list from raw triples."""
-    # multiplicity-weighted undirected pairs, h != t  (get_adjr)
+    # multiplicity-weighted undirected pairs, h != t (get_adjr).  Keyed
+    # UNDIRECTED: the reference mirrors its directed dict into both
+    # directions and then coalesces through scipy's normalize_adj matmuls
+    # (src/utils.py:327-362, 220-226), so when both (a,b) and (b,a) occur
+    # as triples the final edge list holds each direction ONCE with the
+    # summed multiplicity — keeping directed duplicates would double those
+    # neighbors' attention mass in the GAT (it consumes the edge multiset,
+    # layers.py:72-83).
     pairs = {}
     for h, _, t in triples:
         if h == t:
             continue
-        key = (int(h), int(t))
+        key = (int(h), int(t)) if h <= t else (int(t), int(h))
         pairs[key] = pairs.get(key, 0) + 1
 
     n_real = 2 * len(pairs) + n_nodes

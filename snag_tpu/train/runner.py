@@ -487,6 +487,25 @@ class Runner:
 
     def load_model(self, name: str):
         cfg = self.cfg
+        if name.endswith(".pkl"):
+            # a reference-framework checkpoint (torch.save(state_dict) —
+            # SNAG_MMEA/main.py:481-500): import it into our param tree so
+            # reference users can evaluate / warm-start migrated models,
+            # e.g. --model_name_save ref_ckpt.pkl [--only_test 1]
+            from snag_tpu.utils.import_reference import \
+                import_reference_checkpoint
+            path = name if osp.isabs(name) else osp.join(
+                cfg.data_path, cfg.model_name, "save", name)
+            if not osp.exists(path):
+                self.logger.info(f"{path} not exist!!")
+                return False
+            params = import_reference_checkpoint(self.state.params, path)
+            self.state = TrainState(params=params,
+                                    opt_state=self.state.opt_state,
+                                    step=self.state.step,
+                                    base_key=self.state.base_key)
+            self.logger.info(f"imported reference checkpoint [{path}] done!")
+            return True
         path = osp.join(cfg.data_path, cfg.model_name, "save", f"{name}.msgpack")
         if not osp.exists(path):
             self.logger.info(f"{name}.msgpack not exist!!")

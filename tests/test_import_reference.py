@@ -1,0 +1,92 @@
+"""Reference-checkpoint import: identical weights => identical rankings.
+
+Trains the unmodified reference binary with ``--save_model 1``, imports the
+resulting torch state_dict into our param tree
+(snag_tpu/utils/import_reference.py), and evaluates with OUR encoder +
+evaluator on the identical files.  This is the strongest eval-function
+parity oracle in the suite: any deviation in the encoder math (GAT edge
+multiset, fusion weighting, projection orientation) shifts the metrics
+immediately — the round-3 graph-coalescing fix (data/graph.py) was found
+exactly this way (embeddings agree to ~7e-9 after it; before it the GAT
+double-counted bidirectional neighbors and MRR was off by 0.005).
+
+Reference save format: torch.save(model.state_dict(), <data>/<model>/save/
+<name>.pkl)  (SNAG_MMEA/main.py:481-500).
+"""
+
+import glob
+import os
+import os.path as osp
+import re
+import subprocess
+import sys
+
+import pytest
+
+REF_MAIN = "/root/reference/SNAG_MMEA/main.py"
+REPO = osp.dirname(osp.dirname(osp.abspath(__file__)))
+
+FLAGS = [
+    "--gpu", "0", "--model_name", "SNAG", "--data_choice", "DBP15K",
+    "--data_split", "ja_en", "--data_rate", "0.3",
+    "--epoch", "10", "--eval_epoch", "5", "--lr", "5e-4",
+    "--hidden_units", "64,64,64", "--batch_size", "256",
+    "--csls", "--csls_k", "3", "--random_seed", "3408", "--scheduler", "cos",
+    "--attr_dim", "64", "--img_dim", "64", "--name_dim", "64",
+    "--char_dim", "64", "--hidden_size", "64", "--intermediate_size", "128",
+    "--tau", "0.1", "--tau2", "4.0", "--structure_encoder", "gat",
+    "--num_attention_heads", "1", "--num_hidden_layers", "1",
+    "--use_surface", "0", "--use_intermediate", "1",
+    "--add_noise", "1", "--noise_ratio", "0.2", "--mask_ratio", "0.7",
+]
+
+
+@pytest.mark.skipif(not osp.exists(REF_MAIN),
+                    reason="reference checkout not present")
+def test_reference_checkpoint_import_matches_eval(tmp_path):
+    from snag_tpu.data.export_reference import export_reference_format
+
+    # img_coverage=1.0: the missing-image fill is a random draw seeded
+    # independently per framework, so full coverage keeps the comparison
+    # exact (synthetic.generate_synthetic_kg docstring)
+    data_root = str(tmp_path / "imp")
+    export_reference_format(data_root, n_ents=800, n_rels=20, n_triples=3200,
+                            img_dim=64, seed=0, noise=1.2, mirror_p=0.4,
+                            unalignable_frac=0.35, img_coverage=1.0)
+
+    env = dict(os.environ)
+    env.pop("JAX_PLATFORMS", None)
+    proc = subprocess.run(
+        [sys.executable, osp.join(REPO, "scripts", "run_reference_cpu.py"),
+         *FLAGS, "--data_path", data_root, "--workers", "1",
+         "--exp_name", "imp", "--exp_id", "SV", "--save_model", "1"],
+        capture_output=True, text=True, timeout=2400, env=env)
+    assert proc.returncode == 0, proc.stderr[-3000:]
+    out = proc.stdout + proc.stderr
+    m = re.findall(r"Res:\[([\d.]+)\t([\d.]+)\t([\d.]+)\]", out)
+    assert m, out[-2000:]
+    ref_h1, _, ref_mrr = (float(x) for x in m[-1])
+    pkls = glob.glob(osp.join(data_root, "SNAG", "save", "*.pkl"))
+    assert len(pkls) == 1, pkls
+
+    from snag_tpu.config import (build_argparser, config_from_args,
+                                 finalize_config)
+    from snag_tpu.train.runner import Runner
+    from snag_tpu.utils import set_seed
+    from snag_tpu.utils.import_reference import import_reference_checkpoint
+    from snag_tpu.utils.logging import create_logger
+
+    args = build_argparser().parse_args(
+        FLAGS + ["--data_path", data_root, "--exp_name", "imp",
+                 "--exp_id", "IM", "--no_tensorboard"])
+    cfg = finalize_config(config_from_args(args))
+    set_seed(cfg.random_seed)
+    runner = Runner(cfg, create_logger(name="imp_test"))
+    params = import_reference_checkpoint(runner.state.params, pkls[0])
+    res = runner.evaluate(params=params)
+
+    # the reference's saved checkpoint is its best-by-MRR weights — the same
+    # weights that produced its final Res line; identical function =>
+    # identical rankings (reference logs round to 3-4 decimals)
+    assert abs(float(res.mrr_l2r) - ref_mrr) < 2e-3, (res.mrr_l2r, ref_mrr)
+    assert abs(float(res.acc_l2r[0]) - ref_h1) < 2e-3, (res.acc_l2r, ref_h1)
