@@ -43,13 +43,16 @@ FLAGS = [
 
 @pytest.mark.skipif(not osp.exists(REF_MAIN),
                     reason="reference checkout not present")
-def test_reference_checkpoint_import_matches_eval(tmp_path):
+@pytest.mark.parametrize("model", ["SNAG", "MEAformer"])
+def test_reference_checkpoint_import_matches_eval(tmp_path, model):
     from snag_tpu.data.export_reference import export_reference_format
 
     # img_coverage=1.0: the missing-image fill is a random draw seeded
     # independently per framework, so full coverage keeps the comparison
     # exact (synthetic.generate_synthetic_kg docstring)
     data_root = str(tmp_path / "imp")
+    flags = list(FLAGS)
+    flags[flags.index("--model_name") + 1] = model
     export_reference_format(data_root, n_ents=800, n_rels=20, n_triples=3200,
                             img_dim=64, seed=0, noise=1.2, mirror_p=0.4,
                             unalignable_frac=0.35, img_coverage=1.0)
@@ -58,7 +61,7 @@ def test_reference_checkpoint_import_matches_eval(tmp_path):
     env.pop("JAX_PLATFORMS", None)
     proc = subprocess.run(
         [sys.executable, osp.join(REPO, "scripts", "run_reference_cpu.py"),
-         *FLAGS, "--data_path", data_root, "--workers", "1",
+         *flags, "--data_path", data_root, "--workers", "1",
          "--exp_name", "imp", "--exp_id", "SV", "--save_model", "1"],
         capture_output=True, text=True, timeout=2400, env=env)
     assert proc.returncode == 0, proc.stderr[-3000:]
@@ -66,7 +69,7 @@ def test_reference_checkpoint_import_matches_eval(tmp_path):
     m = re.findall(r"Res:\[([\d.]+)\t([\d.]+)\t([\d.]+)\]", out)
     assert m, out[-2000:]
     ref_h1, _, ref_mrr = (float(x) for x in m[-1])
-    pkls = glob.glob(osp.join(data_root, "SNAG", "save", "*.pkl"))
+    pkls = glob.glob(osp.join(data_root, model, "save", "*.pkl"))
     assert len(pkls) == 1, pkls
 
     from snag_tpu.config import (build_argparser, config_from_args,
@@ -77,7 +80,7 @@ def test_reference_checkpoint_import_matches_eval(tmp_path):
     from snag_tpu.utils.logging import create_logger
 
     args = build_argparser().parse_args(
-        FLAGS + ["--data_path", data_root, "--exp_name", "imp",
+        flags + ["--data_path", data_root, "--exp_name", "imp",
                  "--exp_id", "IM", "--no_tensorboard"])
     cfg = finalize_config(config_from_args(args))
     set_seed(cfg.random_seed)
