@@ -14,6 +14,9 @@ can evaluate / warm-start a model they already trained:
   reference weight's input columns to our width is exact (the dropped
   columns only ever see zero inputs).
 
+Covers SNAG / MEAformer / MCLEA / EVA (MSNEA keeps its own data path and
+tree and is not mapped — ``strict`` raises with the unmatched leaves).
+
 Doubles as the strongest eval-parity oracle: identical weights must give
 identical rankings (tests/test_import_reference.py co-runs the reference
 binary, imports its checkpoint, and compares full-rank eval metrics).
@@ -52,42 +55,48 @@ _FUSION_LAYER = {
 
 
 def _ref_key_for(path):
-    """Reference state_dict key + transform for one of our param paths."""
+    """Reference state_dict key + transform for one of our param paths.
+
+    SNAG / MEAformer / MCLEA nest the shared encoder under
+    ``multimodal_encoder``; EVA's tree is flat (EVA.py) — the encoder rules
+    apply at either depth with the matching reference prefix."""
     keys = tuple(str(getattr(k, "key", k)) for k in path)
     if keys[0] == "multimodal_encoder":
-        rest = keys[1:]
-        if rest == ("entity_emb",):
-            return "multimodal_encoder.entity_emb.weight", _ID
-        if len(rest) == 2 and rest[0].endswith("_fc"):
-            if rest[1] == "kernel":
-                return f"multimodal_encoder.{rest[0]}.weight", _SLICE_IN
-            return f"multimodal_encoder.{rest[0]}.bias", _ID
-        if rest[0] == "cross_graph_model":
-            name, leaf = rest[1], rest[2]
-            if name.startswith("gat_"):     # gat_{i} -> layer_stack.{i}
-                i = name.split("_", 1)[1]
-                return (f"multimodal_encoder.cross_graph_model."
-                        f"layer_stack.{i}.{leaf}", _ID)
-            if name.startswith("gc"):       # gc1/gc2 (same names in ref GCN)
-                # reference GraphConvolution.weight is (in, out) already
-                return (f"multimodal_encoder.cross_graph_model."
-                        f"{name}.{leaf}", _ID)
-        if rest[0] == "fusion":
-            if rest[1] == "weight_raw":
-                return "multimodal_encoder.fusion.weight_raw", _ID
-            if rest[1].startswith("layer_"):
-                i = rest[1].split("_", 1)[1]
-                tail = _FUSION_LAYER.get(tuple(rest[2:]))
-                if tail is not None:
-                    ref_tail, tf = tail
-                    return (f"multimodal_encoder.fusion.fusion_layer."
-                            f"{i}.{ref_tail}", tf)
-    if keys == ("multi_loss_layer", "log_vars"):
-        return "multi_loss_layer.log_vars", _ID
-    if keys == ("multi_loss_layer_2", "params"):
-        return "multi_loss_layer_2.params", _ID
-    if keys == ("multi_loss_layer_2", "log_vars"):
-        return "multi_loss_layer_2.log_vars", _ID
+        rest, prefix = keys[1:], "multimodal_encoder."
+    else:
+        rest, prefix = keys, ""
+
+    if rest in (("entity_emb",), ("ent_embed",)):
+        return f"{prefix}{rest[0]}.weight", _ID
+    if rest == ("weight_raw",):
+        return f"{prefix}weight_raw", _ID
+    if len(rest) == 2 and rest[0].endswith("_fc"):
+        if rest[1] == "kernel":
+            return f"{prefix}{rest[0]}.weight", _SLICE_IN
+        return f"{prefix}{rest[0]}.bias", _ID
+    if rest[0] == "cross_graph_model" and len(rest) == 3:
+        name, leaf = rest[1], rest[2]
+        if name.startswith("gat_"):     # gat_{i} -> layer_stack.{i}
+            i = name.split("_", 1)[1]
+            return (f"{prefix}cross_graph_model.layer_stack.{i}.{leaf}", _ID)
+        if name.startswith("gc"):       # gc1/gc2 (same names in ref GCN)
+            # reference GraphConvolution.weight is (in, out) already
+            return f"{prefix}cross_graph_model.{name}.{leaf}", _ID
+    if rest[0] == "fusion":
+        if rest[1] == "weight_raw":
+            return f"{prefix}fusion.weight_raw", _ID
+        if rest[1] == "weight":         # MCLEA MultiModalFusion.weight
+            return f"{prefix}fusion.weight", _ID
+        if rest[1].startswith("layer_"):
+            i = rest[1].split("_", 1)[1]
+            tail = _FUSION_LAYER.get(tuple(rest[2:]))
+            if tail is not None:
+                ref_tail, tf = tail
+                return f"{prefix}fusion.fusion_layer.{i}.{ref_tail}", tf
+
+    if len(keys) == 2 and keys[1] in ("log_vars", "params") and \
+            keys[0].endswith(("multi_loss_layer", "multi_loss_layer_2")):
+        return f"{keys[0]}.{keys[1]}", _ID
     return None, None
 
 
