@@ -41,6 +41,16 @@ def main():
     patched = src.replace("cfgs.device = torch.device(cfgs.gpu)",
                           "cfgs.device = torch.device('cpu')")
     assert patched != src, "expected device line not found in reference main.py"
+    # latent reference bugs in the --only_test branch (main.py:522): it
+    # calls runner.test(last_epoch=False) but Runner.test takes no such
+    # kwarg (main.py:364), and _test reads self.loss_item / self.epoch
+    # which only run() sets, and decrements early_stop_count / reads best_mrr
+    # (main.py:439-452 vs 139-150) — shim them so only_test runs at all
+    patched = patched.replace(
+        "runner.test(last_epoch=False)",
+        ("runner.loss_item = 0.0; runner.epoch = 0; "
+        "runner.early_stop_count = 10**9; runner.best_mrr = 0; "
+        "runner.loss_log = Loss_log(); runner.test()"))
     g = {"__name__": "__main__", "__file__": main_path}
     exec(compile(patched, main_path, "exec"), g)
 

@@ -157,3 +157,55 @@ def import_reference_checkpoint(params, path: str, strict: bool = True):
     return import_reference_state_dict(params,
                                        load_reference_checkpoint(path),
                                        strict=strict)
+
+
+def export_reference_state_dict(params, rel_in_dim: int = 1000,
+                                template=None):
+    """The reverse mapping: our param tree -> a reference ``state_dict``.
+
+    Lets a reference user evaluate a snag_tpu-trained model in their own
+    stack (``--only_test 1 --model_name_save <name>``).  ``rel_fc`` is
+    zero-padded back to the reference's fixed top-1000 relation-bag width
+    (load_relation always allocates 1000 columns; the extra columns only
+    ever see zero inputs, so zero weights are exact).
+
+    The reference constructs some modules unconditionally that our tree
+    only materializes when used (name_fc/char_fc under ``use_surface 0``,
+    the AWL head without ``--awloss``), and its ``load_state_dict`` is
+    strict — pass ``template`` (any reference state_dict of the same
+    config, e.g. an early ``--save_model`` checkpoint, or
+    ``Model(kgs, args).state_dict()``) to fill those eval-inert keys;
+    without one, load the result with ``strict=False``.
+    """
+    import jax.tree_util as jtu
+
+    out = {}
+    if template is not None:
+        out.update({k: np.asarray(v) for k, v in template.items()})
+    for path, leaf in jtu.tree_leaves_with_path(params):
+        ref_key, tf = _ref_key_for(path)
+        if ref_key is None:
+            name = "/".join(str(getattr(p, "key", p)) for p in path)
+            raise KeyError(f"no reference mapping for param {name}")
+        arr = np.asarray(leaf, dtype=np.float32)
+        if tf == _T:
+            arr = arr.T
+        elif tf == _SLICE_IN:
+            if ref_key.endswith("rel_fc.weight") and arr.shape[0] < rel_in_dim:
+                arr = np.concatenate(
+                    [arr, np.zeros((rel_in_dim - arr.shape[0], arr.shape[1]),
+                                   arr.dtype)], axis=0)
+            arr = arr.T
+        out[ref_key] = arr
+    return out
+
+
+def export_reference_checkpoint(params, path: str, rel_in_dim: int = 1000,
+                                template=None):
+    """torch.save our params in the reference's checkpoint format."""
+    import torch
+
+    sd = {k: torch.from_numpy(np.ascontiguousarray(v)) for k, v in
+          export_reference_state_dict(params, rel_in_dim, template).items()}
+    torch.save(sd, path)
+    return path

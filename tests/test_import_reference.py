@@ -95,3 +95,74 @@ def test_reference_checkpoint_import_matches_eval(tmp_path, model, enc):
     # identical rankings (reference logs round to 3-4 decimals)
     assert abs(float(res.mrr_l2r) - ref_mrr) < 2e-3, (res.mrr_l2r, ref_mrr)
     assert abs(float(res.acc_l2r[0]) - ref_h1) < 2e-3, (res.acc_l2r, ref_h1)
+
+
+@pytest.mark.skipif(not osp.exists(REF_MAIN),
+                    reason="reference checkout not present")
+def test_export_roundtrip_reference_evaluates_ours(tmp_path):
+    """Reverse direction: train snag_tpu, export the params as a reference
+    .pkl (export_reference_checkpoint), and have the unmodified reference
+    binary evaluate them with --only_test — its Res must equal our own eval
+    of the same weights.  Dev calibration 2026-08-18: ours MRR 0.6142 /
+    H1 0.5857; reference on the export MRR 0.614 / H1 0.5857 (exact)."""
+    from snag_tpu.config import (build_argparser, config_from_args,
+                                 finalize_config)
+    from snag_tpu.data.export_reference import export_reference_format
+    from snag_tpu.train.runner import Runner
+    from snag_tpu.utils import set_seed
+    from snag_tpu.utils.import_reference import (export_reference_checkpoint,
+                                                 load_reference_checkpoint)
+    from snag_tpu.utils.logging import create_logger
+
+    data_root = str(tmp_path / "rt")
+    export_reference_format(data_root, n_ents=800, n_rels=20, n_triples=3200,
+                            img_dim=64, seed=0, noise=1.2, mirror_p=0.4,
+                            unalignable_frac=0.35, img_coverage=1.0)
+
+    flags = list(FLAGS)
+    flags[flags.index("--epoch") + 1] = "6"
+    flags[flags.index("--eval_epoch") + 1] = "3"
+
+    env = dict(os.environ)
+    env.pop("JAX_PLATFORMS", None)
+    # a 1-epoch reference checkpoint of the same config supplies the
+    # eval-inert keys our tree doesn't materialize (name_fc/char_fc, AWL)
+    tpl_flags = list(flags)
+    tpl_flags[tpl_flags.index("--epoch") + 1] = "1"
+    tpl_flags[tpl_flags.index("--eval_epoch") + 1] = "1"
+    proc = subprocess.run(
+        [sys.executable, osp.join(REPO, "scripts", "run_reference_cpu.py"),
+         *tpl_flags, "--data_path", data_root, "--workers", "1",
+         "--exp_name", "rt", "--exp_id", "T", "--save_model", "1"],
+        capture_output=True, text=True, timeout=2400, env=env)
+    assert proc.returncode == 0, proc.stderr[-3000:]
+    template = load_reference_checkpoint(
+        glob.glob(osp.join(data_root, "SNAG", "save", "*.pkl"))[0])
+
+    args = build_argparser().parse_args(
+        flags + ["--data_path", data_root, "--exp_name", "rt",
+                 "--exp_id", "O", "--no_tensorboard"])
+    cfg = finalize_config(config_from_args(args))
+    set_seed(cfg.random_seed)
+    runner = Runner(cfg, create_logger(name="rt"))
+    res = runner.run()
+    params = (runner.best_params if runner.best_params is not None
+              else runner.state.params)
+    export_reference_checkpoint(
+        params, osp.join(data_root, "SNAG", "save", "OURS.pkl"),
+        template=template)
+
+    proc = subprocess.run(
+        [sys.executable, osp.join(REPO, "scripts", "run_reference_cpu.py"),
+         *flags, "--data_path", data_root, "--workers", "1",
+         "--exp_name", "rt", "--exp_id", "R", "--only_test", "1",
+         "--model_name_save", "OURS"],
+        capture_output=True, text=True, timeout=2400, env=env)
+    assert proc.returncode == 0, proc.stderr[-3000:]
+    m = re.findall(r"Res:\[([\d.]+)\t([\d.]+)\t([\d.]+)\]",
+                   proc.stdout + proc.stderr)
+    assert m, (proc.stdout + proc.stderr)[-2000:]
+    ref_h1, _, ref_mrr = (float(x) for x in m[-1])
+
+    assert abs(float(res.mrr_l2r) - ref_mrr) < 2e-3, (res.mrr_l2r, ref_mrr)
+    assert abs(float(res.acc_l2r[0]) - ref_h1) < 2e-3, (res.acc_l2r, ref_h1)
