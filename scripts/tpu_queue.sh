@@ -20,3 +20,7 @@ echo "=== 4. 100K tile-structure tuning sweep ==="
 python scripts/tune_100k.py 2>&1 | tee "$OUT/tune_100k.log"
 
 echo "=== done; logs in $OUT ==="
+
+echo "=== 5. fresh step trace + attribution (post GAT-bwd/loss-bundle) ==="
+python scripts/trace_step.py 2>&1 | tee "$OUT/trace.log" || true
+python scripts/attribute_trace.py 2>&1 | tee "$OUT/attribution.log" || true
