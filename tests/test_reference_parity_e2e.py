@@ -278,3 +278,31 @@ def test_other_model_families_parity(tmp_path, model, extra):
 
     assert 0.05 < ref_mrr < 0.98, f"oracle saturated/broken: {ref_mrr}"
     assert abs(our_mrr - ref_mrr) < 0.06, (our_mrr, ref_mrr)
+
+
+@pytest.mark.skipif(not osp.exists(REF_MAIN),
+                    reason="reference checkout not present")
+def test_msnea_parity(tmp_path):
+    """MSNEA through the reference binary — the fifth model family.
+
+    --add_noise 0: the reference's own MSNEA lacks update_noise and crashes
+    under --add_noise 1 (SURVEY §2.6 latent-bug note).  MSNEA's negative
+    triples come from host-side random sampling the two frameworks cannot
+    seed identically, so the tolerance is the loose cross-seed spread
+    (calibration 2026-08-18: ref 0.631/0.620 at seeds 3408/17, ours
+    0.614/0.647 — spread ~±0.03)."""
+    from snag_tpu.data.export_reference import export_reference_format
+    data_root = str(tmp_path / "msnea")
+    export_reference_format(data_root, **HARD)
+
+    flags = list(FLAGS)
+    flags[flags.index("--epoch") + 1] = "6"
+    flags[flags.index("--eval_epoch") + 1] = "3"
+    flags[flags.index("--model_name") + 1] = "MSNEA"
+    flags[flags.index("--add_noise") + 1] = "0"
+    ref_h1, ref_mrr, _, _ = _run_reference(data_root, flags)
+    our_h1, our_mrr, _, _ = _run_ours(data_root, flags)
+
+    assert 0.2 < ref_mrr < 0.98, f"oracle saturated/broken: {ref_mrr}"
+    assert abs(our_mrr - ref_mrr) < 0.06, (our_mrr, ref_mrr)
+    assert abs(our_h1 - ref_h1) < 0.08, (our_h1, ref_h1)
