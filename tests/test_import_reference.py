@@ -43,9 +43,11 @@ FLAGS = [
 
 @pytest.mark.skipif(not osp.exists(REF_MAIN),
                     reason="reference checkout not present")
-@pytest.mark.parametrize("model,enc", [
-    ("SNAG", "gat"), ("MEAformer", "gat"), ("MCLEA", "gat"), ("EVA", "gcn")])
-def test_reference_checkpoint_import_matches_eval(tmp_path, model, enc):
+@pytest.mark.parametrize("model,enc,surface", [
+    ("SNAG", "gat", 0), ("SNAG", "gat", 1), ("MEAformer", "gat", 0),
+    ("MCLEA", "gat", 0), ("EVA", "gcn", 0)])
+def test_reference_checkpoint_import_matches_eval(tmp_path, model, enc,
+                                                  surface):
     from snag_tpu.data.export_reference import export_reference_format
 
     # img_coverage=1.0: the missing-image fill is a random draw seeded
@@ -55,9 +57,11 @@ def test_reference_checkpoint_import_matches_eval(tmp_path, model, enc):
     flags = list(FLAGS)
     flags[flags.index("--model_name") + 1] = model
     flags[flags.index("--structure_encoder") + 1] = enc
+    flags[flags.index("--use_surface") + 1] = str(surface)
     export_reference_format(data_root, n_ents=800, n_rels=20, n_triples=3200,
                             img_dim=64, seed=0, noise=1.2, mirror_p=0.4,
-                            unalignable_frac=0.35, img_coverage=1.0)
+                            unalignable_frac=0.35, img_coverage=1.0,
+                            with_surface=bool(surface))
 
     env = dict(os.environ)
     env.pop("JAX_PLATFORMS", None)
