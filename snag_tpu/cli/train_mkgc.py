@@ -21,6 +21,12 @@ def main(argv=None):
 
     args = build_mkgc_argparser().parse_args(argv)
     cfg = mkgc_config_from_args(args)
+    cache = getattr(cfg, "compile_cache_dir", "/tmp/snag_tpu_compile_cache")
+    if cache:
+        # persistent XLA cache: reruns of a config skip the 1-5 min tunnel
+        # compile of the whole-epoch scan
+        jax.config.update("jax_compilation_cache_dir", cache)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
     set_seed(cfg.random_seed)
     logger = create_logger(name="snag_tpu.mkgc")
     runner = MKGCRunner(cfg, logger)

@@ -22,6 +22,11 @@ def main(argv=None):
 
     args = build_argparser().parse_args(argv)
     cfg = finalize_config(config_from_args(args))
+    if cfg.compile_cache_dir:
+        # persistent XLA cache: reruns of a config skip the 1-5 min tunnel
+        # compile of the big jitted step
+        jax.config.update("jax_compilation_cache_dir", cfg.compile_cache_dir)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
     set_seed(cfg.random_seed)
     logger = initialize_exp(cfg)
 

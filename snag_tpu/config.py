@@ -49,6 +49,10 @@ class Config:
     no_tensorboard: bool = False
     exp_name: str = "EA_exp"
     dump_path: str = "dump/"
+    # persistent XLA compilation cache — first compiles of the big jitted
+    # step cost 1-5 min through the axon tunnel; the cache makes reruns of
+    # the same config near-instant (framework addition, no reference analog)
+    compile_cache_dir: str = "/tmp/snag_tpu_compile_cache"
     exp_id: str = "001"
     random_seed: int = 42
     data_path: str = "mmkg"
@@ -215,6 +219,8 @@ def build_argparser() -> argparse.ArgumentParser:
     p.add_argument("--no_tensorboard", default=False, action="store_true")
     p.add_argument("--exp_name", default=d.exp_name, type=str)
     p.add_argument("--dump_path", default=d.dump_path, type=str)
+    p.add_argument("--compile_cache_dir", default=d.compile_cache_dir,
+                   type=str, help="persistent XLA compile cache ('' = off)")
     p.add_argument("--exp_id", default=d.exp_id, type=str)
     p.add_argument("--random_seed", default=d.random_seed, type=int)
     p.add_argument("--data_path", default=d.data_path, type=str)
