@@ -209,6 +209,11 @@ def full_rank_eval(emb_l, emb_r, top_k=(1, 10, 50), csls_k: int = 10,
     else:
         _, ranks_l2r, ranks_r2l, top3 = _eval_core(
             emb_l, emb_r, csls_k, use_csls, distance_kind, with_top3)
+    return result_from_ranks(ranks_l2r, ranks_r2l, top3, top_k)
+
+
+def result_from_ranks(ranks_l2r, ranks_r2l, top3, top_k=(1, 10, 50)):
+    """Summarize rank arrays into the RankResult contract."""
     ranks_l2r = np.asarray(ranks_l2r)
     ranks_r2l = np.asarray(ranks_r2l)
 

@@ -307,10 +307,21 @@ class Runner:
                             enumerate(names[:len(w)]))
             self.logger.info(f"modality weights: {desc}")
         emb = _normalized(joint)
-        res = full_rank_eval(emb[self.test_left], emb[self.test_right],
-                             top_k=(1, 10, 50), csls_k=cfg.csls_k,
-                             use_csls=cfg.csls, distance_kind=cfg.distance,
-                             with_top3=last_epoch)
+        if self.mesh is not None and cfg.distance == 2:
+            # SPMD eval: query rows sharded over the mesh's data axis,
+            # candidate matrix replicated (eval/sharded.py)
+            from snag_tpu.eval.ranking import result_from_ranks
+            from snag_tpu.eval.sharded import sharded_full_rank_eval
+            ranks_l, ranks_r, top3 = sharded_full_rank_eval(
+                self.mesh, emb[self.test_left], emb[self.test_right],
+                csls_k=cfg.csls_k, use_csls=cfg.csls)
+            res = result_from_ranks(ranks_l, ranks_r,
+                                    top3 if last_epoch else None)
+        else:
+            res = full_rank_eval(emb[self.test_left], emb[self.test_right],
+                                 top_k=(1, 10, 50), csls_k=cfg.csls_k,
+                                 use_csls=cfg.csls, distance_kind=cfg.distance,
+                                 with_top3=last_epoch)
         self.logger.info(
             f"Ep {self.epoch} | l2r: acc of top [1, 10, 50] = {res.acc_l2r}, "
             f"mr = {res.mr_l2r:.3f}, mrr = {res.mrr_l2r:.3f}")
