@@ -161,8 +161,13 @@ def make_mkgc_epoch_fn(cfg: MKGCConfig, model: MKGCModel, tx,
     return epoch_fn
 
 
-def make_score_fn(model: MKGCModel):
+def make_score_fn(model: MKGCModel, mesh=None):
     """Jitted filtered-rank evaluator, fully device-side, ONE dispatch.
+
+    With ``mesh``, the chunk axis is sharded over the mesh's data axis via
+    shard_map — filtered ranking is embarrassingly parallel over triples,
+    so each device scans its own chunk slice against locally-computed
+    (replicated) entity embeddings; no collectives.
 
     Distances use the norms+matmul identity (transient is the (C, E) distance
     matrix, never the (C, E, d) broadcast difference), and the known-true
@@ -188,10 +193,10 @@ def make_score_fn(model: MKGCModel):
         smaller_filt = ((filt_d < gold_d[:, None]) & filt_mask).sum(axis=1)
         return smaller_all - smaller_filt + 1
 
-    def _scan_dir(params, jh, jt, trip_c, filt_c, mask_c, head: bool):
+    def _scan_dir(rel_emb, jh, jt, trip_c, filt_c, mask_c, head: bool):
         def body(_, args):
             trip, filt, msk = args
-            r = params["rel_emb"][trip[:, 1]]
+            r = rel_emb[trip[:, 1]]
             if head:
                 rk = _ranks(jt[trip[:, 2]] - r, jh, trip[:, 0], filt, msk)
             else:
@@ -207,9 +212,38 @@ def make_score_fn(model: MKGCModel):
                          method=MKGCModel.all_joint)
         jt = model.apply({"params": params}, feats, role=1,
                          method=MKGCModel.all_joint)
-        rt = _scan_dir(params, jh, jt, t_trip, t_filt, t_mask, head=False)
-        rh = _scan_dir(params, jh, jt, h_trip, h_filt, h_mask, head=True)
-        return rt, rh
+        rel = params["rel_emb"]
+        if mesh is None:
+            rt = _scan_dir(rel, jh, jt, t_trip, t_filt, t_mask, head=False)
+            rh = _scan_dir(rel, jh, jt, h_trip, h_filt, h_mask, head=True)
+            return rt, rh
+
+        from jax import shard_map
+        from jax.sharding import PartitionSpec as P
+        axis = mesh.axis_names[0]
+        n_dev = mesh.devices.size
+
+        def padc(x):
+            pad = (-x.shape[0]) % n_dev
+            if pad:
+                # repeated chunks rank pad triples; sliced off by callers
+                x = jnp.concatenate(
+                    [x, jnp.tile(x[:1], (pad,) + (1,) * (x.ndim - 1))])
+            return x
+
+        def body(rel, jh, jt, tt, tf, tm, ht, hf, hm):
+            rt = _scan_dir(rel, jh, jt, tt, tf, tm, head=False)
+            rh = _scan_dir(rel, jh, jt, ht, hf, hm, head=True)
+            return rt, rh
+
+        rep = P(None, None)
+        shd = P(axis, None, None)
+        fn = shard_map(body, mesh=mesh,
+                       in_specs=(rep, rep, rep, shd, shd, shd,
+                                 shd, shd, shd),
+                       out_specs=(P(axis), P(axis)))
+        return fn(rel, jh, jt, padc(t_trip), padc(t_filt), padc(t_mask),
+                  padc(h_trip), padc(h_filt), padc(h_mask))
 
     return eval_ranks
 
@@ -367,7 +401,7 @@ class MKGCRunner:
             n_dev = self.mesh.devices.size
             self.batch_size = max(n_dev, (self.batch_size // n_dev) * n_dev)
             logger.info(f"mesh batch_size: {self.batch_size}")
-        self._score_fns = make_score_fn(self.model)
+        self._score_fns = make_score_fn(self.model, mesh=self.mesh)
         self._train_dev = None      # resident device triple table
         self._filter_caches = {}    # per-split padded filter arrays
         self.best_mrr = 0.0

@@ -73,6 +73,18 @@ def test_mkgc_runner_mesh_matches_single_device():
     m = r8.evaluate("valid")
     assert 0.0 <= m["mrr"] <= 1.0
 
+    # sharded filtered eval == single-device filtered eval, same params
+    from snag_tpu.mkgc.train import filtered_ranks, make_score_fn
+    triples = data.valid
+    ranks8 = filtered_ranks(cfg8, r8.model, r8.state.params, r8.feats,
+                            r8.data, triples, score_fns=r8._score_fns,
+                            filter_cache={})
+    ranks1 = filtered_ranks(cfg8, r8.model, r8.state.params, r8.feats,
+                            r8.data, triples,
+                            score_fns=make_score_fn(r8.model),
+                            filter_cache={})
+    assert (ranks8 == ranks1).mean() > 0.99, (ranks8[:10], ranks1[:10])
+
 
 def test_msnea_mesh_matches_single_device(synth_cfg, synth_data):
     """MSNEA's step carries a triple-bank extra operand through
