@@ -69,19 +69,18 @@ def _mutual_argmins(emb, left_cand, left_valid, right_cand, right_valid):
     return jnp.argmin(d_l, axis=1), jnp.argmin(d_r, axis=0)
 
 
-@partial(jax.jit, static_argnames=("chunk",))
-def _mutual_argmins_chunked(emb, left_cand, left_valid, right_cand,
-                            right_valid, chunk: int = 4096):
-    """Two-direction argmins without materializing the (Lc, Rc) matrix —
-    lax.map over left chunks, carrying the running column minima."""
-    lc = left_cand.shape[0]
-    rc = right_cand.shape[0]
+def _chunk_scan(emb, lcand, lval, right_emb, right_valid, offset,
+                chunk: int, varying_axis=None):
+    """Chunked left-scan core: preds_l for the given left slice plus the
+    slice's running column minima/argmins (argmins offset to GLOBAL left
+    indices via ``offset``; first-occurrence tie-break preserved because
+    chunks scan in index order)."""
+    lc = lcand.shape[0]
+    rc = right_emb.shape[0]
     pad = (-lc) % chunk
-    lcand = jnp.pad(left_cand, (0, pad))
-    lval = jnp.pad(left_valid, (0, pad))
+    lcand = jnp.pad(lcand, (0, pad))
+    lval = jnp.pad(lval, (0, pad))
     n_chunks = (lc + pad) // chunk
-
-    right_emb = emb[right_cand]
 
     def body(carry, i):
         colmin, colarg = carry
@@ -92,17 +91,75 @@ def _mutual_argmins_chunked(emb, left_cand, left_valid, right_cand,
         pl = jnp.argmin(d_l, axis=1)
         d_r = jnp.where(vl[:, None], d, INF)
         cmin = d_r.min(axis=0)
-        carg = jnp.argmin(d_r, axis=0) + i * chunk
+        carg = jnp.argmin(d_r, axis=0) + i * chunk + offset
         better = cmin < colmin
         colmin = jnp.where(better, cmin, colmin)
         colarg = jnp.where(better, carg, colarg)
         return (colmin, colarg), pl
 
-    (colmin, preds_r), preds_l = jax.lax.scan(
-        body, (jnp.full((rc,), INF), jnp.zeros((rc,), jnp.int32)),
-        jnp.arange(n_chunks))
-    preds_l = preds_l.reshape(-1)[:lc]
+    init = (jnp.full((rc,), INF), jnp.zeros((rc,), jnp.int32))
+    if varying_axis is not None:
+        # under shard_map the carry becomes device-varying (it mixes with
+        # the sharded left slice); mark the init accordingly
+        init = jax.tree_util.tree_map(
+            lambda x: jax.lax.pcast(x, (varying_axis,), to="varying"), init)
+    (colmin, colarg), preds_l = jax.lax.scan(body, init,
+                                             jnp.arange(n_chunks))
+    return preds_l.reshape(-1)[:lc], colmin, colarg
+
+
+@partial(jax.jit, static_argnames=("chunk",))
+def _mutual_argmins_chunked(emb, left_cand, left_valid, right_cand,
+                            right_valid, chunk: int = 4096):
+    """Two-direction argmins without materializing the (Lc, Rc) matrix —
+    lax.map over left chunks, carrying the running column minima."""
+    right_emb = emb[right_cand]
+    preds_l, _, preds_r = _chunk_scan(emb, left_cand, left_valid, right_emb,
+                                      right_valid, 0, chunk)
     return preds_l, preds_r
+
+
+def _mutual_argmins_sharded(mesh, emb, left_cand, left_valid, right_cand,
+                            right_valid, chunk: int = 4096):
+    """Mining sharded over the mesh's data axis: each device scans its
+    contiguous left-slice (same chunked core), then ONE all_gather of the
+    per-device column minima merges preds_r — first-occurrence tie-break
+    preserved because devices hold contiguous ascending slices and argmin
+    over the gathered device axis picks the lowest device index."""
+    from jax import shard_map
+    from jax.sharding import PartitionSpec as P
+
+    axis = mesh.axis_names[0]
+    n_dev = mesh.devices.size
+    lc = left_cand.shape[0]
+    pad = (-lc) % n_dev
+    lcand = jnp.pad(left_cand, (0, pad))
+    lval = jnp.pad(left_valid, (0, pad))
+    l_loc = (lc + pad) // n_dev
+
+    def body(emb, lcand, lval, right_cand, right_valid):
+        right_emb = emb[right_cand]
+        offset = jax.lax.axis_index(axis) * l_loc
+        pl, cmin, carg = _chunk_scan(emb, lcand[0], lval[0], right_emb,
+                                     right_valid, offset,
+                                     min(chunk, l_loc), varying_axis=axis)
+        allmin = jax.lax.all_gather(cmin, axis)             # (n_dev, Rc)
+        allarg = jax.lax.all_gather(carg, axis)
+        dev = jnp.argmin(allmin, axis=0)
+        preds_r = jnp.take_along_axis(allarg, dev[None, :], axis=0)
+        # identical on every device; emitted per-device (row 0 taken by the
+        # caller) because shard_map can't statically infer the replication
+        return pl[None], preds_r
+
+    fn = shard_map(body, mesh=mesh,
+                   in_specs=(P(None, None), P(axis), P(axis), P(None),
+                             P(None)),
+                   out_specs=(P(axis), P(axis, None)))
+    # leading (1, L_loc) axis so the sharded operand keeps a divisible dim
+    preds_l, preds_r = jax.jit(fn)(emb, lcand.reshape(n_dev, l_loc),
+                                   lval.reshape(n_dev, l_loc),
+                                   right_cand, right_valid)
+    return preds_l.reshape(-1)[:lc], preds_r[0]
 
 
 # above this many candidate pairs the full mining matrix would exceed HBM
@@ -110,14 +167,18 @@ MINE_FULL_MAX = 25000
 
 
 def mine_new_links(emb: jnp.ndarray, left_cand, left_valid, right_cand,
-                   right_valid, cand_right, fresh) -> jnp.ndarray:
+                   right_valid, cand_right, fresh, mesh=None) -> jnp.ndarray:
     """One mining round (Iter_new_links, SNAG.py:192-208).
 
     ``emb`` must already be L2-normalized.  ``fresh`` selects whether the
     persistence filter applies (epoch cadence logic lives in the Runner).
-    Returns the new cand_right array.
+    Returns the new cand_right array.  With ``mesh``, mining shards the
+    left-candidate axis over the mesh (one all_gather merges preds_r).
     """
-    if left_cand.shape[0] > MINE_FULL_MAX:
+    if mesh is not None and left_cand.shape[0] >= mesh.devices.size:
+        preds_l, preds_r = _mutual_argmins_sharded(
+            mesh, emb, left_cand, left_valid, right_cand, right_valid)
+    elif left_cand.shape[0] > MINE_FULL_MAX:
         preds_l, preds_r = _mutual_argmins_chunked(
             emb, left_cand, left_valid, right_cand, right_valid)
     else:

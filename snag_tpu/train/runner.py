@@ -375,7 +375,7 @@ class Runner:
         il = self.il_state
         new_cand = il_mod.mine_new_links(
             emb, il.left_cand, il.left_valid, il.right_cand, il.right_valid,
-            il.cand_right, jnp.asarray(fresh))
+            il.cand_right, jnp.asarray(fresh), mesh=self.mesh)
         self.il_state = il_mod.ILState(
             left_cand=il.left_cand, left_valid=il.left_valid,
             right_cand=il.right_cand, right_valid=il.right_valid,

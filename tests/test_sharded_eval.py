@@ -39,3 +39,29 @@ def test_sharded_matches_single_device(use_csls):
     ref_mrr_r = ref.mrr_r2l
     assert abs(mrr_r - ref_mrr_r) < 1e-3
     assert (top3[:, 0] == np.asarray(ref.top3_l2r)[:, 0]).mean() > 0.995
+
+
+@pytest.mark.parametrize("n_left", [512, 601])
+def test_sharded_mining_matches_chunked(n_left):
+    """Sharded mutual-NN mining == single-device chunked mining, including
+    the first-occurrence argmin tie-break and the pad path."""
+    from snag_tpu.train.il import (_mutual_argmins_chunked,
+                                   _mutual_argmins_sharded)
+    assert jax.device_count() >= 8
+    mesh = make_mesh(8)
+    rng = np.random.default_rng(3)
+    n_ent = 1500
+    emb = rng.normal(size=(n_ent, 32)).astype(np.float32)
+    emb /= np.linalg.norm(emb, axis=1, keepdims=True)
+    emb = jnp.asarray(emb)
+    left = jnp.asarray(rng.choice(n_ent, size=n_left, replace=False))
+    right = jnp.asarray(rng.choice(n_ent, size=500, replace=False))
+    lval = jnp.asarray(rng.random(n_left) > 0.1)
+    rval = jnp.asarray(rng.random(500) > 0.1)
+
+    pl_ref, pr_ref = _mutual_argmins_chunked(emb, left, lval, right, rval,
+                                             chunk=128)
+    pl, pr = _mutual_argmins_sharded(mesh, emb, left, lval, right, rval,
+                                     chunk=128)
+    assert (np.asarray(pl) == np.asarray(pl_ref)).all()
+    assert (np.asarray(pr) == np.asarray(pr_ref)).all()
