@@ -12,12 +12,16 @@ top-k of a row is contained in the union of per-block top-ks.
 Same comparison-count rank semantics as eval/ranking.py (strictly-smaller
 plus earlier-index ties), so sharded and single-device results agree up to
 matmul-tiling fp rounding.
+
+Memory envelope: the per-device transient is the (N/n_dev, N) similarity
+block — 0.6 GB f32 per device at the 35K-pair OEA-100K test split on 8
+devices, well inside HBM; the reference protocol's largest split stays
+under that.
 """
 
 from __future__ import annotations
 
 from functools import partial
-from typing import Optional, Tuple
 
 import jax
 import jax.numpy as jnp
