@@ -20,6 +20,16 @@ def torch_linear_kernel(key, shape, dtype=jnp.float32):
     return jax.random.uniform(key, shape, dtype, -bound, bound)
 
 
+def torch_linear_kernel_fan(fan_in: int):
+    """torch kernel init at an EXPLICIT fan-in — for layers whose reference
+    counterpart sees a wider (zero-padded) input table than ours, e.g.
+    rel_fc's fixed 1000-column bag (src/data.py:521-538)."""
+    def init(key, shape, dtype=jnp.float32):
+        bound = 1.0 / np.sqrt(fan_in)
+        return jax.random.uniform(key, shape, dtype, -bound, bound)
+    return init
+
+
 def torch_linear_bias(fan_in: int):
     def init(key, shape, dtype=jnp.float32):
         bound = 1.0 / np.sqrt(fan_in)
