@@ -24,10 +24,14 @@ from snag_tpu.ops.fusion import l2norm
 from snag_tpu.ops.gnn import GCN
 
 
-def _xdense(features: int, name: str):
+def _xdense(features: int, ref_fan_in: int, name: str):
+    # reference EVA: xavier_normal kernels (EVA.py:55-58) but the BIAS
+    # keeps torch nn.Linear's default uniform(+-1/sqrt(fan_in)); rel_fc
+    # sees the fixed 1000-column relation bag, so both draws use the
+    # reference fan-in (ref_fan_in), not our truncated table width
     return nn.Dense(features, name=name,
-                    kernel_init=inits.xavier_normal(),
-                    bias_init=nn.initializers.zeros)
+                    kernel_init=inits.xavier_normal_fan(ref_fan_in),
+                    bias_init=inits.torch_linear_bias(ref_fan_in))
 
 
 class EVA(nn.Module):
@@ -51,13 +55,14 @@ class EVA(nn.Module):
                                     (self.ent_num, u[0]))
         self.weight_raw = self.param("weight_raw", nn.initializers.ones,
                                      (cfg.inner_view_num,))
-        self.rel_fc = _xdense(cfg.attr_dim, "rel_fc")
-        self.att_fc = _xdense(cfg.attr_dim, "att_fc")
-        self.img_fc = _xdense(cfg.attr_dim, "img_fc")
+        self.rel_fc = _xdense(cfg.attr_dim, 1000, "rel_fc")
+        self.att_fc = _xdense(cfg.attr_dim, self.attr_input_dim, "att_fc")
+        self.img_fc = _xdense(cfg.attr_dim, self.img_feature_dim, "img_fc")
         self.cross_graph_model = GCN(u[0], u[1], u[2], dropout=cfg.dropout)
         if cfg.w_name and cfg.w_char:
-            self.name_fc = _xdense(cfg.char_dim, "name_fc")
-            self.char_fc = _xdense(cfg.char_dim, "char_fc")
+            self.name_fc = _xdense(cfg.char_dim, 300, "name_fc")
+            self.char_fc = _xdense(cfg.char_dim, self.char_feature_dim,
+                                   "char_fc")
 
     def _embs(self, feats: FeaturePack, graph: Graph,
               entity_noise_key: Optional[jax.Array], deterministic: bool,

@@ -52,6 +52,16 @@ def xavier_normal():
     return jax.nn.initializers.glorot_normal()
 
 
+def xavier_normal_fan(fan_in: int):
+    """xavier_normal at an EXPLICIT fan-in (fan-out from the shape) — for
+    kernels whose reference counterpart sees a wider zero-padded input,
+    e.g. EVA's rel_fc at the fixed 1000-column bag (EVA.py:43,55)."""
+    def init(key, shape, dtype=jnp.float32):
+        std = np.sqrt(2.0 / (fan_in + shape[1]))
+        return std * jax.random.normal(key, shape, dtype)
+    return init
+
+
 def normal_std(std: float):
     def init(key, shape, dtype=jnp.float32):
         return std * jax.random.normal(key, shape, dtype)
