@@ -91,13 +91,19 @@ def main():
     # (the BASELINE.json headline pair); measured at BOTH the throughput
     # geometry (num_batch=64) and the reference readme's canonical contract
     # (NUM_BATCH=1024, MARGIN=12 — SNAG_MKGC/readme.md:38-48)
-    try:
-        mkgc_tps, mkgc_eval_ms = _bench_mkgc(num_batch=64, margin=1.0)
-        mkgc_tps_canon, _ = _bench_mkgc(num_batch=1024, margin=12.0,
-                                        skip_eval=True)
-    except Exception as e:  # noqa: BLE001
-        print(f"bench: MKGC failed: {e!r}", file=sys.stderr)
-        mkgc_tps = mkgc_eval_ms = mkgc_tps_canon = None
+    mkgc_tps = mkgc_eval_ms = mkgc_tps_canon = None
+    mkgc_fallback = "failed"
+    for mk_stage in dict.fromkeys((stage, 4)):   # dedup keeps order
+        try:
+            _apply_fallback(mk_stage)
+            mkgc_tps, mkgc_eval_ms = _bench_mkgc(num_batch=64, margin=1.0)
+            mkgc_tps_canon, _ = _bench_mkgc(num_batch=1024, margin=12.0,
+                                            skip_eval=True)
+            mkgc_fallback = _FALLBACK_NAMES[mk_stage]
+            break
+        except Exception as e:  # noqa: BLE001
+            print(f"bench: MKGC stage {mk_stage} failed: {e!r}",
+                  file=sys.stderr)
 
     # Reference epoch = ceil(4500/3500) = 2 steps on DBP15K with data_rate
     # 0.3; report step throughput as the headline.
@@ -124,6 +130,7 @@ def main():
             "mkgc_triples_per_sec": mkgc_tps,
             "mkgc_triples_per_sec_canonical": mkgc_tps_canon,
             "mkgc_filtered_eval_ms": mkgc_eval_ms,
+            "mkgc_fallback": mkgc_fallback,
             "device": str(jax.devices()[0]),
         },
     }))
