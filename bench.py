@@ -57,6 +57,12 @@ _FALLBACK_NAMES = {0: None, 1: "snag_loss_kernel_off", 2: "+ntxent_off",
 
 def main():
     jax.config.update("jax_default_prng_impl", "rbg")
+    # persistent XLA cache (same default as the CLIs): bench reruns skip
+    # the 1-5 min tunnel compile of the big step
+    jax.config.update("jax_compilation_cache_dir",
+                      os.environ.get("SNAG_COMPILE_CACHE",
+                                     "/tmp/snag_tpu_compile_cache"))
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
     from snag_tpu.config import Config, finalize_config
 
     # DBP15K-shaped synthetic workload (run_snag.sh geometry)
