@@ -10,6 +10,9 @@ cd /root/repo
 echo "=== 0. fused SNAG loss bundle: value + A/B (never TPU-run) ==="
 python scripts/check_snag_bundle_tpu.py 2>&1 | tee "$OUT/check_bundle.log"
 
+echo "=== 0b. bidirectional GAT backward: grads + A/B (rewrite never TPU-run) ==="
+python scripts/check_gat_bwd_tpu.py 2>&1 | tee "$OUT/check_gat_bwd.log"
+
 echo "=== 1. tiny-attn + QKV-fold A/B (bench geometry) ==="
 python scripts/ab_tiny_attn.py 2>&1 | tee "$OUT/ab_tiny_attn.log"
 
