@@ -287,11 +287,16 @@ def _bench_mkgc(num_batch=64, margin=1.0, skip_eval=False):
     if skip_eval:
         return tps, None
 
-    # filtered full-entity ranking over the valid split (both directions)
+    # filtered full-entity ranking over the valid split (both directions);
+    # median of 5 — single-shot readings through the tunnel spread up to
+    # 2.4x run-to-run (48 vs 114 ms observed r3, ADVICE item 1)
     runner.evaluate("valid")                      # compile
-    t0 = time.perf_counter()
-    runner.evaluate("valid")
-    eval_ms = round((time.perf_counter() - t0) * 1000, 1)
+    times = []
+    for _ in range(5):
+        t0 = time.perf_counter()
+        runner.evaluate("valid")
+        times.append((time.perf_counter() - t0) * 1000)
+    eval_ms = round(sorted(times)[len(times) // 2], 1)
     return tps, eval_ms
 
 

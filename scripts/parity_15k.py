@@ -1,0 +1,174 @@
+"""15K-entity/side full-protocol parity co-run vs the reference binary.
+
+VERDICT r3 item 1: the canonical DBP15K ja_en workload is 15K entities per
+side trained with --il through the stage transition (reference run_snag.sh:
+batch 3500, hidden "300,300,300" GAT, Mformer 1L/1H, CSLS k=3, cos
+scheduler, noise 0.2/0.7).  This driver runs BOTH frameworks on identical
+exported files at that geometry with a fixed 12-epoch budget (the reference
+needs ~15 min/epoch on this 1-core CPU; the full 1000-epoch protocol is not
+runnable here) and reports two-seed mean MRR per framework.
+
+The epoch budget is the smallest that executes the complete IL protocol:
+il_start 6 + semi_learn_step 1 means stage-2 runs epochs 6..11 with
+mutual-NN mining every epoch, promotion of mined links at
+(epoch+1) % 10 == 0 i.e. epoch 9 (reference main.py:181) and the
+train-pool data refresh at (epoch+1) % 5 == 0 (main.py:222).
+
+--enable_sota is deliberately NOT passed: on DBP15K ja_en + SNAG + --il it
+force-overrides epoch=1000/il_start=500 (reference config.py:198-209),
+which cannot complete on this CPU.  Its weight_decay derivation
+(max(0.001, wd) for DBP15K, il, no surface) is applied explicitly instead
+so the optimizer matches the canonical run.
+
+Stages (resumable; state under --root, default /tmp/parity15k):
+    python scripts/parity_15k.py export
+    python scripts/parity_15k.py ref  --seed 3408     # hours on 1 CPU core
+    python scripts/parity_15k.py ours --seed 3408     # minutes on TPU
+    python scripts/parity_15k.py report
+"""
+
+import argparse
+import json
+import os
+import os.path as osp
+import re
+import subprocess
+import sys
+import time
+
+REPO = osp.dirname(osp.dirname(osp.abspath(__file__)))
+
+SEEDS = (3408, 17)
+# budget reality on this machine: the box exposes ONE CPU core and the
+# reference needs ~900 s/epoch at this geometry here (r2's 245 s/epoch
+# baseline was minted under less contention), so the budget is the
+# smallest that still executes the complete IL protocol: il_start 6 +
+# semi_learn_step 1 gives mining every stage-2 epoch, and epoch 12 reaches
+# (epoch+1) % 10 == 0 at epoch 9 for the promotion AND the %5 train-pool
+# refresh (reference main.py:181,222)
+EPOCH = 12
+IL_START = 6
+
+FLAGS = [
+    "--gpu", "0", "--model_name", "SNAG", "--data_choice", "DBP15K",
+    "--data_split", "ja_en", "--data_rate", "0.3",
+    "--epoch", str(EPOCH), "--eval_epoch", "4", "--lr", "5e-4",
+    "--hidden_units", "300,300,300", "--batch_size", "3500",
+    "--csls", "--csls_k", "3", "--scheduler", "cos",
+    "--attr_dim", "300", "--img_dim", "300", "--name_dim", "300",
+    "--char_dim", "300", "--hidden_size", "300",
+    "--intermediate_size", "400",
+    "--tau", "0.1", "--tau2", "4.0", "--structure_encoder", "gat",
+    "--num_attention_heads", "1", "--num_hidden_layers", "1",
+    "--use_surface", "0", "--use_intermediate", "1",
+    "--add_noise", "1", "--noise_ratio", "0.2", "--mask_ratio", "0.7",
+    "--weight_decay", "0.001",
+    "--il", "--il_start", str(IL_START), "--semi_learn_step", "1",
+]
+
+RES_RE = re.compile(r"Res:\[([\d.]+)\t([\d.]+)\t([\d.]+)\]")
+
+
+def export(root):
+    from snag_tpu.data.export_reference import export_reference_format
+    data_root = osp.join(root, "data")
+    if osp.exists(osp.join(data_root, "DBP15K", "ja_en", "ill_ent_ids")):
+        print(f"already exported: {data_root}")
+        return data_root
+    t0 = time.time()
+    export_reference_format(
+        data_root, n_ents=30000, n_rels=100, n_triples=120000,
+        img_dim=300, seed=0, noise=1.2, mirror_p=0.4,
+        unalignable_frac=0.35, img_coverage=1.0)
+    print(f"exported 30K-entity KG to {data_root} in {time.time()-t0:.0f}s")
+    return data_root
+
+
+def run_ref(root, seed):
+    data_root = osp.join(root, "data")
+    log = osp.join(root, f"ref_{seed}.log")
+    env = dict(os.environ)
+    env.pop("JAX_PLATFORMS", None)
+    t0 = time.time()
+    with open(log, "w") as f:
+        proc = subprocess.run(
+            [sys.executable, osp.join(REPO, "scripts", "run_reference_cpu.py"),
+             *FLAGS, "--random_seed", str(seed), "--data_path", data_root,
+             "--workers", "1", "--exp_name", "p15k", "--exp_id", f"R{seed}",
+             "--dump_path", osp.join(root, "refdump")],
+            stdout=f, stderr=subprocess.STDOUT, env=env)
+    out = open(log).read()
+    m = RES_RE.findall(out)
+    ok = proc.returncode == 0 and m
+    print(f"ref seed {seed}: rc={proc.returncode} "
+          f"wall={(time.time()-t0)/60:.0f}min "
+          f"final={m[-1] if m else None} log={log}")
+    return float(m[-1][2]) if ok else None
+
+
+def run_ours(root, seed):
+    data_root = osp.join(root, "data")
+    log = osp.join(root, f"ours_{seed}.log")
+    env = dict(os.environ)
+    t0 = time.time()
+    with open(log, "w") as f:
+        proc = subprocess.run(
+            [sys.executable, "-m", "snag_tpu.cli.train_mmea",
+             *FLAGS, "--random_seed", str(seed), "--data_path", data_root,
+             "--workers", "1", "--exp_name", "p15k", "--exp_id", f"S{seed}",
+             "--no_tensorboard",
+             "--dump_path", osp.join(root, "oursdump")],
+            stdout=f, stderr=subprocess.STDOUT, env=env,
+            cwd=REPO)
+    out = open(log).read()
+    m = RES_RE.findall(out)
+    ok = proc.returncode == 0 and m
+    print(f"ours seed {seed}: rc={proc.returncode} "
+          f"wall={(time.time()-t0)/60:.0f}min "
+          f"final={m[-1] if m else None} log={log}")
+    return float(m[-1][2]) if ok else None
+
+
+def report(root):
+    res = {}
+    for side in ("ref", "ours"):
+        vals = []
+        for seed in SEEDS:
+            log = osp.join(root, f"{side}_{seed}.log")
+            if not osp.exists(log):
+                continue
+            m = RES_RE.findall(open(log).read())
+            if m:
+                vals.append((seed, [float(x) for x in m[-1]]))
+        res[side] = vals
+    out = {"runs": res}
+    if all(len(res[s]) == len(SEEDS) for s in res):
+        ref_mean = sum(v[1][2] for v in res["ref"]) / len(SEEDS)
+        our_mean = sum(v[1][2] for v in res["ours"]) / len(SEEDS)
+        out.update(ref_mean_mrr=round(ref_mean, 4),
+                   our_mean_mrr=round(our_mean, 4),
+                   gap=round(our_mean - ref_mean, 4))
+    print(json.dumps(out, indent=2))
+    with open(osp.join(root, "report.json"), "w") as f:
+        json.dump(out, f, indent=2)
+
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument("stage", choices=["export", "ref", "ours", "report"])
+    p.add_argument("--seed", type=int, default=3408)
+    p.add_argument("--root", default="/tmp/parity15k")
+    a = p.parse_args()
+    os.makedirs(a.root, exist_ok=True)
+    if a.stage == "export":
+        export(a.root)
+    elif a.stage == "ref":
+        run_ref(a.root, a.seed)
+    elif a.stage == "ours":
+        run_ours(a.root, a.seed)
+    else:
+        report(a.root)
+
+
+if __name__ == "__main__":
+    main()

@@ -32,6 +32,12 @@ def main():
 
     main_path = osp.join(REF, "main.py")
     sys.argv = [main_path] + sys.argv[1:]
+    # the reference's default --dump_path is "dump/" relative to the cwd,
+    # which after the chdir below would land INSIDE the read-only reference
+    # tree (torchlight/logger.py:118-138 mkdir -p's it); keep every run's
+    # dump out of /root/reference
+    if "--dump_path" not in sys.argv:
+        sys.argv += ["--dump_path", "/tmp/refdump"]
     os.chdir(REF)  # torchlight resolves relative resources from the cwd
 
     # main.py:517 does torch.device(gpu_index), which demands a CUDA device;

@@ -33,6 +33,13 @@ from snag_tpu.ops import inits, noise as noise_ops
 from snag_tpu.ops.fusion import BertLayer, l2norm, _tdense
 
 
+# negative-joint formulation: "auto" picks all-entity fusion + gather when
+# the batch touches more joint slots than the entity table (see __call__);
+# "on"/"off" force the branch.  Module-level so A/B scripts can flip it
+# per-jit without config plumbing.
+ALL_ENT_FUSION = "auto"
+
+
 def avg_pool_features(x: np.ndarray, out_dim: int) -> np.ndarray:
     """Host-side 1D average pooling to a uniform width (readme.md:36
     ``use_pool``)."""
@@ -71,10 +78,15 @@ class MKGCModel(nn.Module):
             self.txt_proj2 = _tdense(d, self.txt_dim, "txt_proj2")
 
         if cfg.joint_way.startswith("Mformer"):
+            # fold_qkv=False: at d=128 the folded (d, 3d) matmul costs 25%
+            # train throughput vs three fused (d, d) matmuls (298K vs 393K
+            # triples/s, scripts/ab_mkgc.py 2026-08-19) — unlike MMEA's
+            # d=300 stack where folding is runtime-neutral
             self.fusion_layers = [
                 BertLayer(hidden_size=d, num_heads=cfg.num_attention_heads,
                           intermediate_size=cfg.intermediate_size,
                           use_intermediate=bool(cfg.use_intermediate),
+                          fold_qkv=False,
                           name=f"fusion_{i}")
                 for i in range(cfg.num_hidden_layers)]
         elif cfg.joint_way == "atten_weight":
@@ -169,7 +181,9 @@ class MKGCModel(nn.Module):
         b, k = rand_ent.shape
         r = self.rel_emb[pos[:, 1]]
 
-        if b * (k + 2) > 2 * self.ent_num:
+        use_all = (b * (k + 2) > 2 * self.ent_num
+                   if ALL_ENT_FUSION == "auto" else ALL_ENT_FUSION == "on")
+        if use_all:
             # the batch touches more joint slots than the whole entity set:
             # fuse EVERY entity once per role and gather (1.9x fewer fusion
             # passes at DB15K geometry, where B*K ~ 3.5x the entity count)

@@ -407,6 +407,14 @@ class MKGCRunner:
         self.best_mrr = 0.0
         self.best_params = None
         self.bad_evals = 0
+        self.epoch = 0
+        self.start_epoch = 0
+        if cfg.resume_from:
+            from snag_tpu.utils.checkpoint import load_mkgc_checkpoint
+            load_mkgc_checkpoint(self, cfg.resume_from)
+            self.start_epoch = self.epoch + 1
+            logger.info(f"resumed from {cfg.resume_from} (epoch {self.epoch},"
+                        f" best valid MRR {self.best_mrr:.4f})")
 
     def train_epoch(self, epoch: int) -> float:
         b = self.batch_size
@@ -432,6 +440,13 @@ class MKGCRunner:
     def evaluate(self, split: str = "valid"):
         triples = getattr(self.data, split)
         if split == "valid" and len(triples) > self.cfg.valid_max:
+            if not getattr(self, "_valid_cap_logged", False):  # once per run
+                self.logger.info(
+                    f"valid split capped for early-stopping: using first "
+                    f"{self.cfg.valid_max} of {len(triples)} triples "
+                    f"({len(triples) - self.cfg.valid_max} dropped; raise "
+                    f"--valid_max to use all)")
+                self._valid_cap_logged = True
             triples = triples[:self.cfg.valid_max]
         cache = self._filter_caches.setdefault(split, {})
         ranks = filtered_ranks(self.cfg, self.model, self.state.params,
@@ -439,27 +454,59 @@ class MKGCRunner:
                                score_fns=self._score_fns, filter_cache=cache)
         return summarize_lp(ranks)
 
+    def _checkpoint_path(self) -> str:
+        import os.path as osp
+        d = self.cfg.checkpoint_dir or osp.join(
+            self.cfg.data_path, self.cfg.data_choice, "ckpt")
+        return osp.join(d, f"{self.cfg.exp_id}.msgpack")
+
+    def save_model(self, name: str = "") -> str:
+        """Best-params snapshot under <data_path>/<data_choice>/save/
+        (the MMEA layout, main.py:481-500)."""
+        import os
+        import os.path as osp
+        import flax.serialization
+        name = name or self.cfg.exp_id
+        d = osp.join(self.cfg.data_path, self.cfg.data_choice, "save")
+        os.makedirs(d, exist_ok=True)
+        path = osp.join(d, f"{name}.msgpack")
+        params = (self.best_params if self.best_params is not None
+                  else self.state.params)
+        with open(path, "wb") as f:
+            f.write(flax.serialization.to_bytes(params))
+        self.logger.info(f"saving [{path}] done!")
+        return path
+
     def run(self):
         cfg = self.cfg
         t0 = time.time()
-        for epoch in range(cfg.epoch):
-            loss = self.train_epoch(epoch)
-            if (epoch + 1) % cfg.log_every == 0 or epoch == 0:
-                self.logger.info(f"MKGC Ep {epoch}: loss {loss:.4f} "
-                                 f"({time.time() - t0:.1f}s)")
-            if (epoch + 1) % cfg.eval_epoch == 0:
-                m = self.evaluate("valid")
-                self.logger.info(f"MKGC Ep {epoch} valid: {m}")
-                if m["mrr"] > self.best_mrr:
-                    self.best_mrr = m["mrr"]
-                    self.best_params = jax.tree_util.tree_map(
-                        lambda x: x.copy(), self.state.params)
-                    self.bad_evals = 0
-                else:
-                    self.bad_evals += 1
-                    if self.bad_evals >= cfg.early_stop_patience:
-                        self.logger.info(f"early stop at epoch {epoch}")
-                        break
+        if not cfg.only_test:
+            for epoch in range(self.start_epoch, cfg.epoch):
+                self.epoch = epoch
+                loss = self.train_epoch(epoch)
+                if (epoch + 1) % cfg.log_every == 0 or epoch == 0:
+                    self.logger.info(f"MKGC Ep {epoch}: loss {loss:.4f} "
+                                     f"({time.time() - t0:.1f}s)")
+                stop = False
+                if (epoch + 1) % cfg.eval_epoch == 0:
+                    m = self.evaluate("valid")
+                    self.logger.info(f"MKGC Ep {epoch} valid: {m}")
+                    if m["mrr"] > self.best_mrr:
+                        self.best_mrr = m["mrr"]
+                        self.best_params = jax.tree_util.tree_map(
+                            lambda x: x.copy(), self.state.params)
+                        self.bad_evals = 0
+                    else:
+                        self.bad_evals += 1
+                        if self.bad_evals >= cfg.early_stop_patience:
+                            self.logger.info(f"early stop at epoch {epoch}")
+                            stop = True
+                if cfg.checkpoint_every and (epoch + 1) % cfg.checkpoint_every == 0:
+                    from snag_tpu.utils.checkpoint import save_mkgc_checkpoint
+                    path = save_mkgc_checkpoint(self, self._checkpoint_path())
+                    self.logger.info(f"checkpoint saved to {path}")
+                if stop:
+                    break
         params = (self.best_params if self.best_params is not None
                   else self.state.params)
         self.state = MKGCState(params=params, opt_state=self.state.opt_state,
@@ -467,4 +514,6 @@ class MKGCRunner:
                                base_key=self.state.base_key)
         m = self.evaluate("test")
         self.logger.info(f"MKGC test: {m}")
+        if cfg.save_model and not cfg.only_test:
+            self.save_model()
         return m

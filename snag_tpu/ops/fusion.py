@@ -45,7 +45,12 @@ def l2norm(x: jnp.ndarray, axis: int = -1, eps: float = 1e-12) -> jnp.ndarray:
 TINY_ATTN_IMPL = "broadcast"
 
 # QKV projections as one (d, 3d) matmul (True) vs three (d, d) matmuls
-# (False) — same params either way; module-level for in-process A/B.
+# (False) — same params either way; module-level DEFAULT, overridable
+# per-layer via BertLayer(fold_qkv=...).  Measured (2026-08-19, TPU v5e):
+# neutral at MMEA geometry (d=300, N=30K: 38.6-39.1 ms all combos) where it
+# buys a 3.4x smaller jaxpr, but -25% MKGC train throughput at d=128
+# (298K vs 393K triples/s — the per-step weight concat + grad split beats
+# three small matmuls' fusion; scripts/ab_mkgc.py), so MKGC passes False.
 FOLD_QKV = True
 
 
@@ -95,10 +100,13 @@ def _tdense(features: int, in_features: int, name: str, dtype=jnp.float32):
 
 class BertSelfAttention(nn.Module):
     """Multi-head self-attention over the modality-token axis
-    (SNAG_tools.py:158-209; dropout 0.1 hardcoded there)."""
+    (SNAG_tools.py:158-209; dropout 0.1 hardcoded there).
+
+    ``fold_qkv``: None = module default FOLD_QKV (see its A/B note)."""
     hidden_size: int
     num_heads: int
     dtype: jnp.dtype = jnp.float32
+    fold_qkv: Optional[bool] = None
 
     @nn.compact
     def __call__(self, hidden, *, deterministic: bool = True):
@@ -114,7 +122,8 @@ class BertSelfAttention(nn.Module):
         wq, bq = fb.LinParams(d, d, name="query")()
         wk, bk = fb.LinParams(d, d, name="key")()
         wv, bv = fb.LinParams(d, d, name="value")()
-        if FOLD_QKV:
+        fold = FOLD_QKV if self.fold_qkv is None else self.fold_qkv
+        if fold:
             wqkv = jnp.concatenate([wq, wk, wv], axis=1).astype(self.dtype)
             bqkv = jnp.concatenate([bq, bk, bv]).astype(self.dtype)
             qkv = hidden @ wqkv + bqkv
@@ -157,6 +166,7 @@ class BertLayer(nn.Module):
     use_intermediate: bool = True
     dtype: jnp.dtype = jnp.float32
     fused: bool = True
+    fold_qkv: Optional[bool] = None   # None = module default FOLD_QKV
 
     @nn.compact
     def __call__(self, hidden, *, deterministic: bool = True):
@@ -188,7 +198,8 @@ class BertLayer(nn.Module):
             return out, probs[:, None, :, :]   # (N, H=1, M, M)
 
         ctx, probs = BertSelfAttention(
-            self.hidden_size, self.num_heads, self.dtype, name="self")(
+            self.hidden_size, self.num_heads, self.dtype,
+            fold_qkv=self.fold_qkv, name="self")(
                 hidden, deterministic=deterministic)
         ctx = _tdense(self.hidden_size, self.hidden_size, "att_out", self.dtype)(ctx)
         ctx = nn.Dropout(0.1)(ctx, deterministic=deterministic)

@@ -94,3 +94,52 @@ def load_checkpoint(runner, path: str) -> None:
     if payload.get("replay_neg") is not None:
         runner.replay_neg = jnp.asarray(payload["replay_neg"])
         runner.replay_ready = bool(payload["replay_ready"])
+
+
+# ---------------------------------------------------------------------------
+# MKGC checkpoints (same msgpack format; the MKGC state is smaller — no IL
+# pools/replay, but the early-stop bookkeeping must survive a resume so an
+# 8000-epoch run preempted mid-way stops at the same eval it would have)
+# ---------------------------------------------------------------------------
+
+def save_mkgc_checkpoint(runner, path: str) -> str:
+    os.makedirs(osp.dirname(path) or ".", exist_ok=True)
+    payload: Dict[str, Any] = {
+        "params": _to_np(runner.state.params),
+        "opt_state": _to_np(runner.state.opt_state),
+        "step": np.asarray(runner.state.step),
+        "base_key": np.asarray(runner.state.base_key),
+        "epoch": runner.epoch,
+        "best_mrr": runner.best_mrr,
+        "bad_evals": runner.bad_evals,
+        "best_params": (_to_np(runner.best_params)
+                        if runner.best_params is not None else None),
+    }
+    tmp = path + ".tmp"
+    with open(tmp, "wb") as f:
+        f.write(flax.serialization.msgpack_serialize(payload))
+    os.replace(tmp, path)   # atomic: a crash mid-write never corrupts
+    return path
+
+
+def load_mkgc_checkpoint(runner, path: str) -> None:
+    from snag_tpu.mkgc.train import MKGCState
+
+    with open(path, "rb") as f:
+        payload = flax.serialization.msgpack_restore(f.read())
+    params = flax.serialization.from_state_dict(runner.state.params,
+                                                payload["params"])
+    opt_state = flax.serialization.from_state_dict(runner.state.opt_state,
+                                                   payload["opt_state"])
+    runner.state = MKGCState(
+        params=jax.tree_util.tree_map(jnp.asarray, params),
+        opt_state=jax.tree_util.tree_map(jnp.asarray, opt_state),
+        step=jnp.asarray(payload["step"]),
+        base_key=jnp.asarray(payload["base_key"]))
+    runner.epoch = int(payload["epoch"])
+    runner.best_mrr = float(payload["best_mrr"])
+    runner.bad_evals = int(payload["bad_evals"])
+    if payload.get("best_params") is not None:
+        bp = flax.serialization.from_state_dict(runner.state.params,
+                                                payload["best_params"])
+        runner.best_params = jax.tree_util.tree_map(jnp.asarray, bp)

@@ -57,3 +57,60 @@ def test_filtered_ranks_respect_filter(mkgc_data):
     m = runner.evaluate("valid")
     assert 0 <= m["mrr"] <= 1
     assert m["hits10"] >= m["hits3"] >= m["hits1"]
+
+
+def test_checkpoint_resume_exact(mkgc_data, tmp_path):
+    """A run checkpointed at epoch 3 and resumed must land on EXACTLY the
+    state an uninterrupted run reaches: the step counter and base_key drive
+    every RNG fold-in (corruptions, noise, epoch shuffles), so continuation
+    is bitwise, and the early-stop bookkeeping must survive too."""
+    import jax
+
+    ckpt = str(tmp_path / "ck.msgpack")
+    cfg = _cfg(epoch=6, eval_epoch=2, checkpoint_every=100,
+               checkpoint_dir=str(tmp_path))
+
+    runner_a = MKGCRunner(cfg, create_logger(name="ck_a"), data=mkgc_data)
+    from snag_tpu.utils.checkpoint import (load_mkgc_checkpoint,
+                                           save_mkgc_checkpoint)
+    for e in range(3):
+        runner_a.epoch = e
+        runner_a.train_epoch(e)
+    mid_valid = runner_a.evaluate("valid")
+    runner_a.best_mrr = mid_valid["mrr"]
+    runner_a.bad_evals = 1
+    save_mkgc_checkpoint(runner_a, ckpt)
+    for e in range(3, 6):
+        runner_a.train_epoch(e)
+    final_a = runner_a.evaluate("test")
+
+    cfg_b = dataclasses.replace(cfg, resume_from=ckpt)
+    runner_b = MKGCRunner(cfg_b, create_logger(name="ck_b"), data=mkgc_data)
+    assert runner_b.start_epoch == 3
+    assert runner_b.bad_evals == 1
+    assert abs(runner_b.best_mrr - mid_valid["mrr"]) < 1e-9
+    for e in range(3, 6):
+        runner_b.train_epoch(e)
+    final_b = runner_b.evaluate("test")
+
+    assert final_a == final_b                     # exact metric agreement
+    leaves_a = jax.tree_util.tree_leaves(runner_a.state.params)
+    leaves_b = jax.tree_util.tree_leaves(runner_b.state.params)
+    for xa, xb in zip(leaves_a, leaves_b):
+        np.testing.assert_array_equal(np.asarray(xa), np.asarray(xb))
+
+
+def test_missing_features_fail_loudly(tmp_path):
+    """A triples-only dump must not silently train on random tables."""
+    d = tmp_path / "TYPO"
+    d.mkdir()
+    for name in ("train", "valid", "test"):
+        (d / f"{name}.txt").write_text("a\tr1\tb\nb\tr1\tc\nc\tr1\ta\n")
+    cfg = _cfg(data_choice="TYPO", data_path=str(tmp_path))
+    with pytest.raises(FileNotFoundError, match="allow_missing_features"):
+        load_mkgc_data(cfg)
+    # explicit opt-out restores the triples-only structural path
+    cfg2 = _cfg(data_choice="TYPO", data_path=str(tmp_path),
+                allow_missing_features=1)
+    data = load_mkgc_data(cfg2)
+    assert data.visual.shape[0] == data.ent_num
