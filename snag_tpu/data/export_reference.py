@@ -12,6 +12,23 @@ Produces a directory tree the PyTorch reference can consume directly
                                       training_attrs_2
     <dest>/pkls/<data_split>_GA_id_img_feature_dict.pkl   {id: np.float32[d]}
 
+Three on-disk layouts, selected by ``data_choice`` exactly as the
+reference's pickle-resolution switch does (src/data.py:136-171):
+
+  * DBP15K/DWY (default): ``<dest>/<choice>/<split>/`` + the
+    ``pkls/<split>_GA_id_img_feature_dict{_ratio}.pkl`` naming above.
+  * ``OEA_*``: files under ``<dest>/OpenEA/<choice>/`` (NO split subdir),
+    image pickle ``<dest>/OpenEA/pkl/<choice>_id_img_feature_dict{_ratio}.pkl``
+    (the reference then rewrites data_split to norm/dense from the V1/V2
+    suffix — the split never names a directory for OEA).
+  * ``FBDB15K``/``FBYG15K``: files under ``<dest>/<choice>/norm/`` (the
+    reference config forces data_split="norm", inner_view_num=4;
+    config.py:158-166), image pickle
+    ``<dest>/pkls/<choice>_id_img_feature_dict{_ratio}.pkl``.
+
+``ratio`` != "1.0" appends ``_<ratio>`` to the pickle name (the reference's
+``data_prefix``, src/data.py:155-157).
+
 This is the bridge for minting real reference baselines (BASELINE.md) and
 for end-to-end metric-parity tests: both frameworks train on the identical
 files.  Formats follow read_raw_data (src/data.py:406-457), load_attr
@@ -45,7 +62,8 @@ def export_reference_format(dest: str,
                             mirror_p: float = 0.7,
                             unalignable_frac: float = 0.0,
                             img_coverage: float = 0.9,
-                            with_surface: bool = False) -> str:
+                            with_surface: bool = False,
+                            ratio: str = "1.0") -> str:
     """Write the synthetic KG under ``dest``; returns the split directory.
 
     ``noise``/``mirror_p``/``unalignable_frac`` select the hard parity
@@ -62,9 +80,22 @@ def export_reference_format(dest: str,
                               seed=seed, noise=noise, mirror_p=mirror_p,
                               unalignable_frac=unalignable_frac,
                               img_coverage=img_coverage))
-    split_dir = osp.join(dest, data_choice, data_split)
+    prefix = "" if ratio == "1.0" else f"_{ratio}"
+    if "OEA" in data_choice:
+        split_dir = osp.join(dest, "OpenEA", data_choice)
+        pkl_path = osp.join(dest, "OpenEA", "pkl",
+                            f"{data_choice}_id_img_feature_dict{prefix}.pkl")
+    elif "FB" in data_choice:
+        split_dir = osp.join(dest, data_choice, "norm")
+        pkl_path = osp.join(dest, "pkls",
+                            f"{data_choice}_id_img_feature_dict{prefix}.pkl")
+    else:
+        split_dir = osp.join(dest, data_choice, data_split)
+        pkl_path = osp.join(
+            dest, "pkls",
+            f"{data_split}_GA_id_img_feature_dict{prefix}.pkl")
     os.makedirs(split_dir, exist_ok=True)
-    os.makedirs(osp.join(dest, "pkls"), exist_ok=True)
+    os.makedirs(osp.dirname(pkl_path), exist_ok=True)
 
     def write_rows(name, rows):
         with open(osp.join(split_dir, name), "w", encoding="utf-8") as f:
@@ -85,8 +116,6 @@ def export_reference_format(dest: str,
                 if ent in side and attrs:
                     f.write("\t".join([ent_name(ent)] + list(attrs)) + "\n")
 
-    pkl_path = osp.join(dest, "pkls",
-                        f"{data_split}_GA_id_img_feature_dict.pkl")
     with open(pkl_path, "wb") as f:
         pickle.dump({int(k): np.asarray(v, dtype=np.float32)
                      for k, v in img_dict.items()}, f)
@@ -115,6 +144,9 @@ if __name__ == "__main__":
     import argparse
     p = argparse.ArgumentParser()
     p.add_argument("--dest", default="/tmp/snag_ref_data")
+    p.add_argument("--data_choice", default="DBP15K")
+    p.add_argument("--data_split", default="ja_en")
+    p.add_argument("--ratio", default="1.0")
     p.add_argument("--n_ents", type=int, default=2000)
     p.add_argument("--n_rels", type=int, default=40)
     p.add_argument("--n_triples", type=int, default=8000)
@@ -125,7 +157,9 @@ if __name__ == "__main__":
     p.add_argument("--unalignable_frac", type=float, default=0.0)
     p.add_argument("--with_surface", action="store_true")
     a = p.parse_args()
-    d = export_reference_format(a.dest, n_ents=a.n_ents, n_rels=a.n_rels,
+    d = export_reference_format(a.dest, data_choice=a.data_choice,
+                                data_split=a.data_split, ratio=a.ratio,
+                                n_ents=a.n_ents, n_rels=a.n_rels,
                                 n_triples=a.n_triples, img_dim=a.img_dim,
                                 seed=a.seed, noise=a.noise,
                                 mirror_p=a.mirror_p,

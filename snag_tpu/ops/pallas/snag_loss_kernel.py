@@ -47,9 +47,37 @@ FORCE_INTERPRET = False
 DISABLE = False
 
 _EPS = 1e-30
-RT_F = 512     # forward row/col tile
-RT_B = 256     # backward tile (carries the (M, RT, RT) K scratch)
+RT_F = 512     # forward row/col PADDING granularity (max tile)
+RT_B = 256     # backward max tile (carries the (M, RT, RT) K scratch)
 C_PAD = 8      # channel axis padded to sublane count
+
+# Scoped-VMEM budget for tile selection.  The v5e scoped limit is 16 MiB;
+# the original fixed RT_F=512 was tuned on bf16 inputs and overflows it in
+# f32 at d=300 (hit by the 15K-entity f32 parity co-run, 2026-08-19).
+# Calibration: at (m=4, rt=512, d=300, f32) the double-buffered-window
+# estimate below gives 10.9 MiB while Mosaic's actual scoped accounting
+# reported 21.21 MiB (~1.95x — kernel-body temporaries and lane padding
+# are not in the window model), so the cap is 8 MiB: est <= 8M keeps the
+# true footprint under the 16M limit with the measured ratio.  bf16 keeps
+# the original (TPU-validated) tile sizes at every shipped geometry.
+_VMEM_CAP = 8 * 2 ** 20
+
+
+def _pick_rt(m: int, d: int, itemsize: int, max_rt: int,
+             dz_out: bool = False) -> int:
+    """Largest row/col tile whose z blocks (+ backward extras) fit the cap.
+
+    Counted: row+col z blocks double-buffered, alpha/coef tiles, and for
+    the backward the f32 dz output block and the (M, rt, rt) K scratch."""
+    rt = max_rt
+    while rt > 128:
+        est = 2 * 2 * m * rt * d * itemsize + 2 * 2 * rt * 128 * 4
+        if dz_out:
+            est += 2 * m * rt * d * 4 + m * rt * rt * itemsize
+        if est <= _VMEM_CAP:
+            break
+        rt //= 2
+    return rt
 
 
 def streaming_ok(m: int, b: int, d: int) -> bool:
@@ -206,23 +234,24 @@ def mixture_lse(z: jnp.ndarray, alpha: jnp.ndarray, beta: jnp.ndarray,
     vcol (1, 2Bp).  Returns lse (C_PAD, 2Bp) f32 per channel."""
     m, bp2, d = z.shape
     bp = bp2 // 2
-    n_rc = bp2 // RT_F
+    rt = _pick_rt(m, d, z.dtype.itemsize, RT_F)
+    n_rc = bp2 // rt
 
     return pl.pallas_call(
-        functools.partial(_mix_lse_kernel, n_mod=n_mod, bp=bp, rt=RT_F,
+        functools.partial(_mix_lse_kernel, n_mod=n_mod, bp=bp, rt=rt,
                           inv_tau=1.0 / tau),
         grid=(n_rc, n_rc),
         in_specs=[
-            pl.BlockSpec((m, RT_F, d), lambda i, j: (0, i, 0)),
-            pl.BlockSpec((m, RT_F, d), lambda i, j: (0, j, 0)),
-            pl.BlockSpec((RT_F, 128), lambda i, j: (i, 0)),
-            pl.BlockSpec((RT_F, 128), lambda i, j: (j, 0)),
+            pl.BlockSpec((m, rt, d), lambda i, j: (0, i, 0)),
+            pl.BlockSpec((m, rt, d), lambda i, j: (0, j, 0)),
+            pl.BlockSpec((rt, 128), lambda i, j: (i, 0)),
+            pl.BlockSpec((rt, 128), lambda i, j: (j, 0)),
             pl.BlockSpec((1, 128), lambda i, j: (0, 0)),
-            pl.BlockSpec((1, RT_F), lambda i, j: (0, j)),
+            pl.BlockSpec((1, rt), lambda i, j: (0, j)),
         ],
-        out_specs=pl.BlockSpec((C_PAD, RT_F), lambda i, j: (0, i)),
+        out_specs=pl.BlockSpec((C_PAD, rt), lambda i, j: (0, i)),
         out_shape=jax.ShapeDtypeStruct((C_PAD, bp2), jnp.float32),
-        scratch_shapes=[pltpu.VMEM((C_PAD, RT_F), jnp.float32)],
+        scratch_shapes=[pltpu.VMEM((C_PAD, rt), jnp.float32)],
         interpret=FORCE_INTERPRET,
     )(z, z, alpha, alpha, beta, vcol)
 
@@ -235,28 +264,29 @@ def mixture_grad(z, alpha, beta, lse, coef, vcol, n_mod: int, tau: float
     dbeta (C_PAD, 128) f32 — row 0, lanes 0..M-1)."""
     m, bp2, d = z.shape
     bp = bp2 // 2
-    n_rc = bp2 // RT_B
+    rt = _pick_rt(m, d, z.dtype.itemsize, RT_B, dz_out=True)
+    n_rc = bp2 // rt
 
     dz, da, db = pl.pallas_call(
-        functools.partial(_mix_grad_kernel, n_mod=n_mod, bp=bp, rt=RT_B,
+        functools.partial(_mix_grad_kernel, n_mod=n_mod, bp=bp, rt=rt,
                           inv_tau=1.0 / tau),
         grid=(n_rc, n_rc),
         in_specs=[
-            pl.BlockSpec((m, RT_B, d), lambda i, j: (0, i, 0)),
-            pl.BlockSpec((m, RT_B, d), lambda i, j: (0, j, 0)),
-            pl.BlockSpec((RT_B, 128), lambda i, j: (i, 0)),
-            pl.BlockSpec((RT_B, 128), lambda i, j: (j, 0)),
+            pl.BlockSpec((m, rt, d), lambda i, j: (0, i, 0)),
+            pl.BlockSpec((m, rt, d), lambda i, j: (0, j, 0)),
+            pl.BlockSpec((rt, 128), lambda i, j: (i, 0)),
+            pl.BlockSpec((rt, 128), lambda i, j: (j, 0)),
             pl.BlockSpec((1, 128), lambda i, j: (0, 0)),
-            pl.BlockSpec((C_PAD, RT_B), lambda i, j: (0, i)),
-            pl.BlockSpec((C_PAD, RT_B), lambda i, j: (0, j)),
-            pl.BlockSpec((C_PAD, RT_B), lambda i, j: (0, i)),
-            pl.BlockSpec((C_PAD, RT_B), lambda i, j: (0, j)),
-            pl.BlockSpec((1, RT_B), lambda i, j: (0, i)),
-            pl.BlockSpec((1, RT_B), lambda i, j: (0, j)),
+            pl.BlockSpec((C_PAD, rt), lambda i, j: (0, i)),
+            pl.BlockSpec((C_PAD, rt), lambda i, j: (0, j)),
+            pl.BlockSpec((C_PAD, rt), lambda i, j: (0, i)),
+            pl.BlockSpec((C_PAD, rt), lambda i, j: (0, j)),
+            pl.BlockSpec((1, rt), lambda i, j: (0, i)),
+            pl.BlockSpec((1, rt), lambda i, j: (0, j)),
         ],
         out_specs=[
-            pl.BlockSpec((m, RT_B, d), lambda i, j: (0, i, 0)),
-            pl.BlockSpec((RT_B, 128), lambda i, j: (i, 0)),
+            pl.BlockSpec((m, rt, d), lambda i, j: (0, i, 0)),
+            pl.BlockSpec((rt, 128), lambda i, j: (i, 0)),
             pl.BlockSpec((C_PAD, 128), lambda i, j: (0, 0)),
         ],
         out_shape=[
@@ -264,7 +294,7 @@ def mixture_grad(z, alpha, beta, lse, coef, vcol, n_mod: int, tau: float
             jax.ShapeDtypeStruct((bp2, 128), jnp.float32),
             jax.ShapeDtypeStruct((C_PAD, 128), jnp.float32),
         ],
-        scratch_shapes=[pltpu.VMEM((m, RT_B, RT_B), z.dtype)],
+        scratch_shapes=[pltpu.VMEM((m, rt, rt), z.dtype)],
         interpret=FORCE_INTERPRET,
     )(z, z, alpha, alpha, beta, lse, lse, coef, coef, vcol, vcol)
     return dz, da, db

@@ -282,6 +282,35 @@ def test_other_model_families_parity(tmp_path, model, extra):
 
 @pytest.mark.skipif(not osp.exists(REF_MAIN),
                     reason="reference checkout not present")
+@pytest.mark.parametrize("choice,split,ratio", [
+    ("OEA_D_W_15K_V1", "norm", "1.0"),
+    ("FBDB15K", "norm", "0.4"),
+])
+def test_dataset_layout_parity(tmp_path, choice, split, ratio):
+    """OEA / FB on-disk layout co-run (VERDICT r3 next item 6): exercises the
+    reference's pickle-resolution branches (src/data.py:155-172 — OpenEA dir
+    without a split subdir + OpenEA/pkl naming; FB's pkls/<choice> naming
+    with the _ratio suffix and the forced norm/4-view config, config.py:
+    158-166) against OUR loader's same branches (data/io.py::
+    resolve_img_pickle, data/dataset.py::_load_files) on identical files."""
+    from snag_tpu.data.export_reference import export_reference_format
+    data_root = str(tmp_path / choice)
+    export_reference_format(data_root, data_choice=choice, data_split=split,
+                            ratio=ratio, **HARD)
+
+    flags = list(FLAGS)
+    flags[flags.index("--data_choice") + 1] = choice
+    flags[flags.index("--data_split") + 1] = split
+    flags += ["--ratio", ratio]
+    ref_h1, ref_mrr, _, _ = _run_reference(data_root, flags)
+    our_h1, our_mrr, _, _ = _run_ours(data_root, flags)
+
+    assert 0.05 < ref_mrr < 0.98, f"oracle saturated/broken: {ref_mrr}"
+    assert abs(our_mrr - ref_mrr) < 0.05, (our_mrr, ref_mrr)
+
+
+@pytest.mark.skipif(not osp.exists(REF_MAIN),
+                    reason="reference checkout not present")
 def test_msnea_parity(tmp_path):
     """MSNEA through the reference binary — the fifth model family.
 
