@@ -19,6 +19,10 @@ def main(argv=None):
     # at DBP15K scale for the noise tables (profiled)
     jax.config.update("jax_default_prng_impl", "rbg")
 
+    # multi-host entry: no-op single-process (see cli/train_mmea.py)
+    from snag_tpu.parallel.mesh import initialize_distributed
+    initialize_distributed()
+
     args = build_mkgc_argparser().parse_args(argv)
     cfg = mkgc_config_from_args(args)
     cache = getattr(cfg, "compile_cache_dir", "/tmp/snag_tpu_compile_cache")

@@ -20,6 +20,12 @@ def main(argv=None):
     # at DBP15K scale for the noise tables (profiled)
     jax.config.update("jax_default_prng_impl", "rbg")
 
+    # multi-host entry: no-op single-process, discovers JAX_*/torchrun/
+    # SLURM env otherwise (reference distributed_utils.py:14-35's role);
+    # must run before the first backend touch
+    from snag_tpu.parallel.mesh import initialize_distributed
+    initialize_distributed()
+
     args = build_argparser().parse_args(argv)
     cfg = finalize_config(config_from_args(args))
     if cfg.compile_cache_dir:

@@ -27,6 +27,11 @@ from snag_tpu.ops.fusion import l2norm
 
 LARGE_NUM = 1e9
 
+# Route simple icl_loss calls (no replay/inversion) through the batched
+# custom-VJP core (M=1) — streaming kernel on TPU, small residuals
+# everywhere.  Module flag for in-process A/B (scripts/ab_family_loss.py).
+ROUTE_SIMPLE_ICL = True
+
 
 # ---------------------------------------------------------------------------
 # Streaming batched NT-Xent core.
@@ -260,6 +265,17 @@ def icl_loss(
         zis_w = weight_norm[links[:, 0]]
         zjs_w = weight_norm[links[:, 1]]
         w_min = jnp.minimum(zis_w, zjs_w)
+
+    if (ROUTE_SIMPLE_ICL and neg_l is None and not inversion
+            and not with_replay_mining):
+        # simple contract (no replay negatives / mining / inversion):
+        # identical math through the batched custom-VJP core with M=1 —
+        # residuals are (1, B) row stats instead of the (B, 2B) logits,
+        # and on TPU the flash-style streaming kernel applies.  This is
+        # the MEAformer/MCLEA joint-loss production path (VERDICT r3 #8).
+        return _icl_xent_batched(zis[None], zjs[None],
+                                 None if w_min is None else w_min[None],
+                                 valid, tau, ab_weight)[0]
 
     eye = jnp.eye(b, dtype=jnp.float32)
     def sim(x, y):

@@ -340,8 +340,8 @@ class MKGCRunner:
                 self.mesh = mesh_mod.make_mesh(n_dev)
                 ent2 = mesh_mod.entity_sharding(self.mesh, 2)
                 self.feats = MKGCFeatures(
-                    visual=jax.device_put(self.feats.visual, ent2),
-                    textual=jax.device_put(self.feats.textual, ent2))
+                    visual=mesh_mod.put_global(self.feats.visual, ent2),
+                    textual=mesh_mod.put_global(self.feats.textual, ent2))
                 self._pos_sharding = mesh_mod.batch_sharding(self.mesh, 2)
                 logger.info(f"SPMD mesh: {n_dev} devices on "
                             f"'{mesh_mod.DATA_AXIS}'")
@@ -373,11 +373,11 @@ class MKGCRunner:
         self.epoch_fn = make_mkgc_epoch_fn(cfg, self.model, self.tx,
                                            stats_vis, stats_txt)
         if self.mesh is not None:
-            from snag_tpu.parallel.mesh import replicated
+            from snag_tpu.parallel.mesh import put_global, replicated
             rep = replicated(self.mesh)
             self.state = MKGCState(
-                params=jax.device_put(self.state.params, rep),
-                opt_state=jax.device_put(self.state.opt_state, rep),
+                params=put_global(self.state.params, rep),
+                opt_state=put_global(self.state.opt_state, rep),
                 step=self.state.step, base_key=self.state.base_key)
             # re-jit with explicit batch sharding; state donated at this
             # outer level (step signature: state, pos, feats, epoch)

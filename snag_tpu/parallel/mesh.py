@@ -108,6 +108,28 @@ def replicated(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P())
 
 
+def put_global(x, sharding: NamedSharding):
+    """Place ``x`` (or a pytree) with ``sharding``, multi-process safe.
+
+    Single-process this is ``jax.device_put``.  When the mesh spans
+    several processes (jax.distributed multi-host), ``device_put`` cannot
+    target non-addressable devices; every process instead holds the SAME
+    host value (the multi-host contract for this workload: identical data
+    load + identical seeds) and materializes only its addressable shards
+    via ``make_array_from_callback``."""
+    if x is None:
+        return None
+    if jax.process_count() == 1:
+        return jax.device_put(x, sharding)
+
+    def put_leaf(leaf):
+        arr = np.asarray(leaf)
+        return jax.make_array_from_callback(
+            arr.shape, sharding, lambda idx: arr[idx])
+
+    return jax.tree_util.tree_map(put_leaf, x)
+
+
 def entity_sharding(mesh: Mesh, ndim: int = 2) -> NamedSharding:
     """Shard axis 0 (the entity or edge axis) over the data axis."""
     return NamedSharding(mesh, P(DATA_AXIS, *([None] * (ndim - 1))))
@@ -128,7 +150,7 @@ def shard_kg_arrays(mesh: Mesh, feats, graph):
         if x is None:
             return None
         nd = x.ndim if ndim_hint is None else ndim_hint
-        return jax.device_put(x, entity_sharding(mesh, nd))
+        return put_global(x, entity_sharding(mesh, nd))
 
     import dataclasses as _dc
     feats = type(feats)(*[put(f) for f in feats])

@@ -207,11 +207,11 @@ class Runner:
 
         if self.mesh is not None:
             from snag_tpu.parallel.mesh import (make_sharded_train_step,
-                                                replicated)
+                                                put_global, replicated)
             rep = replicated(self.mesh)
             self.state = TrainState(
-                params=jax.device_put(self.state.params, rep),
-                opt_state=jax.device_put(self.state.opt_state, rep),
+                params=put_global(self.state.params, rep),
+                opt_state=put_global(self.state.opt_state, rep),
                 step=self.state.step, base_key=self.state.base_key)
             n_extra = 1 if (cfg.model_name == "MSNEA"
                             or (cfg.model_name == "MEAformer" and cfg.replay)
@@ -237,8 +237,9 @@ class Runner:
             links_d = jnp.asarray(chunk.astype(np.int64))
             valid_d = jnp.asarray(valid)
             if self._batch_shardings is not None:
-                links_d = jax.device_put(links_d, self._batch_shardings[0])
-                valid_d = jax.device_put(valid_d, self._batch_shardings[1])
+                from snag_tpu.parallel.mesh import put_global
+                links_d = put_global(links_d, self._batch_shardings[0])
+                valid_d = put_global(valid_d, self._batch_shardings[1])
             yield links_d, valid_d
 
     # ------------------------------------------------------------------

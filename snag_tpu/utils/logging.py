@@ -34,17 +34,34 @@ class ElapsedFormatter(logging.Formatter):
 
 
 def create_logger(filepath: str | None = None, name: str = "snag_tpu") -> logging.Logger:
+    """Console + optional file logger (torchlight/logger.py:24-58).
+
+    Multi-process runs (jax.distributed) write per-rank files —
+    ``<filepath>.rank<k>`` for every process but 0, which keeps the plain
+    ``filepath`` (the reference's per-rank suffixing, torchlight/
+    logger.py:44-46) — and only rank 0 logs to the console."""
     logger = logging.getLogger(name)
     logger.handlers.clear()
     logger.setLevel(logging.INFO)
     logger.propagate = False
     fmt = ElapsedFormatter()
 
-    sh = logging.StreamHandler(sys.stdout)
-    sh.setFormatter(fmt)
-    logger.addHandler(sh)
+    rank = 0
+    try:
+        import jax
+        if jax.process_count() > 1:
+            rank = jax.process_index()
+    except Exception:
+        pass
+
+    if rank == 0:
+        sh = logging.StreamHandler(sys.stdout)
+        sh.setFormatter(fmt)
+        logger.addHandler(sh)
 
     if filepath:
+        if rank:
+            filepath = f"{filepath}.rank{rank}"
         fh = logging.FileHandler(filepath, "a")
         fh.setFormatter(fmt)
         logger.addHandler(fh)

@@ -3,6 +3,8 @@ mesh must train to the same losses as their single-device builds (VERDICT r1
 item 5 — §2.10 items 1-4 wired into the framework path, not just tests)."""
 
 import dataclasses
+import os
+import os.path as osp
 
 import numpy as np
 import pytest
@@ -30,6 +32,77 @@ def test_runner_mesh_matches_single_device(synth_cfg, synth_data):
     # eval path runs over sharded features too
     res = r8.evaluate()
     assert 0.0 <= res.mrr_l2r <= 1.0
+
+
+@pytest.mark.skipif(os.environ.get("SNAG_MESH_30K") != "1",
+                    reason="~1 h on the 1-core CI box; set SNAG_MESH_30K=1")
+def test_runner_mesh_matches_single_device_30k(tmp_path):
+    """Mesh equivalence at production scale (VERDICT r3 next item 3): 30K
+    entities / 150K triples / d=300 through data:8 vs single device —
+    the toy-scale test above can miss sharding bugs that only appear when
+    the entity axis actually divides into non-trivial shards (padded-edge
+    segments, uneven gather shards, the 235-tile GAT structure).
+
+    Runs in a subprocess: XLA's CPU collectives hard-abort the whole
+    process when 8 emulated device threads timeshare 1 physical core and
+    don't all reach an all-gather within 40 s
+    (rendezvous.cc termination timeout) — the child raises
+    --xla_cpu_collective_call_terminate_timeout_seconds, which must be
+    set before backend init and so can't be done in this process."""
+    import subprocess
+    import sys
+    import textwrap
+
+    child = textwrap.dedent("""
+        import os
+        os.environ["JAX_PLATFORMS"] = "cpu"
+        os.environ["XLA_FLAGS"] = (
+            "--xla_force_host_platform_device_count=8 "
+            "--xla_cpu_collective_call_warn_stuck_seconds=600 "
+            "--xla_cpu_collective_call_terminate_timeout_seconds=3600")
+        import dataclasses
+        import jax
+        jax.config.update("jax_platforms", "cpu")
+        import numpy as np
+        from snag_tpu.config import Config, finalize_config
+        from snag_tpu.data.dataset import load_data
+        from snag_tpu.train.runner import Runner
+        from snag_tpu.utils.logging import create_logger
+
+        cfg = Config(
+            data_choice="SYNTH", model_name="SNAG", batch_size=3500,
+            lr=5e-4, hidden_units="300,300,300", heads="2,2",
+            attr_dim=300, img_dim=300, name_dim=300, char_dim=300,
+            hidden_size=300, intermediate_size=400, num_attention_heads=1,
+            num_hidden_layers=1, structure_encoder="gat", scheduler="cos",
+            tau=0.1, tau2=4.0, use_surface=0, inner_view_num=4,
+            random_seed=3408, synth_ents=30_000, synth_rels=2000,
+            synth_triples=150_000, synth_img_dim=256, exp_name="m30k",
+            data_rate=0.3, add_noise=0, dropout=0.0)
+        cfg = finalize_config(cfg, data_root="%s")
+        data = load_data(cfg)
+
+        np.random.seed(0)
+        l1 = Runner(cfg, create_logger(name="m30k1"),
+                    data=data).train_epoch()
+        np.random.seed(0)
+        cfg8 = dataclasses.replace(cfg, mesh_shape="data:8")
+        r8 = Runner(cfg8, create_logger(name="m30k8"), data=data)
+        assert r8.mesh is not None and r8.mesh.devices.size == 8
+        l8 = r8.train_epoch()
+        rel = abs(l1 - l8) / max(abs(l1), 1e-9)
+        assert rel < 5e-3, (l1, l8, rel)
+        print("30K MESH OK", l1, l8, rel)
+    """ % str(tmp_path / "data"))
+    env = dict(os.environ)
+    env.pop("XLA_FLAGS", None)
+    env["PYTHONPATH"] = (osp.dirname(osp.dirname(osp.abspath(__file__)))
+                         + os.pathsep + env.get("PYTHONPATH", ""))
+    res = subprocess.run([sys.executable, "-c", child], env=env,
+                         capture_output=True, text=True, timeout=7200)
+    out = res.stdout + res.stderr
+    assert res.returncode == 0, out[-4000:]
+    assert "30K MESH OK" in out, out[-4000:]
 
 
 def test_runner_mesh_shape_validation(synth_cfg, synth_data):

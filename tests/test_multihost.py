@@ -91,3 +91,103 @@ def test_two_process_localhost_cpu(tmp_path):
     for rank, (p, out) in enumerate(zip(procs, outs)):
         assert p.returncode == 0, f"rank {rank} failed:\n{out[-3000:]}"
         assert f"child {rank} OK" in out
+
+
+# ---------------------------------------------------------------------------
+# Cross-process TRAINING: the production Runner on a global data:8 mesh
+# spanning 2 processes x 4 local CPU devices (VERDICT r3 next item 7).
+# Every process loads the same synthetic KG + seed (the multi-host data
+# contract); parallel/mesh.put_global materializes only the addressable
+# shards of each global array.  The per-epoch losses must match a
+# single-process data:8 run of the IDENTICAL config.
+# ---------------------------------------------------------------------------
+
+_TRAIN_BODY = textwrap.dedent("""
+    import dataclasses, json
+    import numpy as np
+    from __graft_entry__ import _small_cfg
+    from snag_tpu.train.runner import Runner
+    from snag_tpu.utils.logging import create_logger
+
+    def run_two_epochs(tag):
+        cfg = _small_cfg()
+        cfg = dataclasses.replace(cfg, synth_ents=128, batch_size=32,
+                                  mesh_shape="data:8")
+        cfg.modal_num = len(cfg.active_modalities())
+        runner = Runner(cfg, create_logger(name=tag))
+        assert runner.mesh is not None \\
+            and runner.mesh.devices.size == 8, runner.mesh
+        losses = [runner.train_epoch() for _ in range(2)]
+        assert all(np.isfinite(l) for l in losses), losses
+        print(tag + " losses " + json.dumps(losses))
+        return losses
+""")
+
+_TRAIN_CHILD = textwrap.dedent("""
+    import os, sys
+    os.environ["JAX_PLATFORMS"] = "cpu"
+    os.environ["XLA_FLAGS"] = "--xla_force_host_platform_device_count=4"
+    import jax
+    jax.config.update("jax_platforms", "cpu")
+    from snag_tpu.parallel.mesh import initialize_distributed
+
+    initialize_distributed()
+    assert jax.process_count() == 2 and len(jax.devices()) == 8
+""") + _TRAIN_BODY + textwrap.dedent("""
+    run_two_epochs("rank%d" % jax.process_index())
+""")
+
+_TRAIN_SINGLE = textwrap.dedent("""
+    import os, sys
+    os.environ["JAX_PLATFORMS"] = "cpu"
+    os.environ["XLA_FLAGS"] = "--xla_force_host_platform_device_count=8"
+    import jax
+    jax.config.update("jax_platforms", "cpu")
+""") + _TRAIN_BODY + textwrap.dedent("""
+    run_two_epochs("single")
+""")
+
+
+def _losses_from(out, tag):
+    import json
+    for line in out.splitlines():
+        if line.startswith(tag + " losses "):
+            return json.loads(line[len(tag + " losses "):])
+    raise AssertionError(f"no '{tag} losses' line in:\n{out[-3000:]}")
+
+
+def test_two_process_train_step_matches_single(tmp_path):
+    with socket.socket() as s:
+        s.bind(("127.0.0.1", 0))
+        port = s.getsockname()[1]
+
+    procs = []
+    for rank in range(2):
+        env = dict(os.environ)
+        env.update({"RANK": str(rank), "WORLD_SIZE": "2",
+                    "MASTER_ADDR": "127.0.0.1", "MASTER_PORT": str(port),
+                    "JAX_PLATFORMS": "cpu",
+                    "XLA_FLAGS": "--xla_force_host_platform_device_count=4"})
+        env["PYTHONPATH"] = REPO + os.pathsep + env.get("PYTHONPATH", "")
+        procs.append(subprocess.Popen(
+            [sys.executable, "-c", _TRAIN_CHILD], env=env,
+            stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True))
+    outs = [p.communicate(timeout=1500)[0] for p in procs]
+    for rank, (p, out) in enumerate(zip(procs, outs)):
+        assert p.returncode == 0, f"rank {rank} failed:\n{out[-4000:]}"
+    multi = [_losses_from(out, f"rank{r}") for r, out in enumerate(outs)]
+    # the loss is replicated: both controllers must see the same value
+    assert multi[0] == pytest.approx(multi[1], abs=1e-6), multi
+
+    env = dict(os.environ)
+    env["JAX_PLATFORMS"] = "cpu"
+    env["XLA_FLAGS"] = "--xla_force_host_platform_device_count=8"
+    env["PYTHONPATH"] = REPO + os.pathsep + env.get("PYTHONPATH", "")
+    single = subprocess.run([sys.executable, "-c", _TRAIN_SINGLE], env=env,
+                            capture_output=True, text=True, timeout=1500)
+    assert single.returncode == 0, single.stdout[-4000:] + single.stderr[-2000:]
+    ref = _losses_from(single.stdout + single.stderr, "single")
+
+    # same global mesh partitioning => same compiled math; only the
+    # cross-process collective transport differs
+    assert multi[0] == pytest.approx(ref, rel=1e-5), (multi[0], ref)
