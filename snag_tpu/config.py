@@ -157,11 +157,6 @@ class Config:
     profile_dir: str = ""            # jax.profiler trace output, "" = off
     log_every: int = 50
     remat: int = 0                   # rematerialize GNN activations (memory)
-    # fused Pallas BertLayer kernel (TPU, H=1): correct and tested, but the
-    # bf16 unrolled-attention XLA path is equal-or-faster at every measured
-    # geometry (r3 A/B: 1L/1H 76.5 vs 74.4 ms, 2L/2H 93.7 vs 93.2 ms model
-    # fwd+bwd) — default OFF, opt in with --fused_mformer 1
-    fused_mformer: int = 0
     # encode only the batch's entity rows in the train step (the graph
     # encoder still runs full-graph; projections/fusion/losses run at
     # (2B,...) instead of (N,...)) — gradient-identical to full encoding
@@ -314,7 +309,6 @@ def build_argparser() -> argparse.ArgumentParser:
     p.add_argument("--profile_dir", type=str, default=d.profile_dir)
     p.add_argument("--log_every", type=int, default=d.log_every)
     p.add_argument("--remat", type=int, default=d.remat)
-    p.add_argument("--fused_mformer", type=int, default=d.fused_mformer)
     p.add_argument("--batch_encode", type=int, default=d.batch_encode)
     p.add_argument("--fused_snag_loss", type=int, default=d.fused_snag_loss)
     p.add_argument("--checkpoint_every", type=int, default=d.checkpoint_every)

@@ -116,8 +116,7 @@ class MultiModalEncoder(nn.Module):
                 intermediate_size=cfg.intermediate_size,
                 use_intermediate=bool(cfg.use_intermediate),
                 with_fz=(self.fusion_kind == "mformer"),
-                dtype=self.dtype,
-                fused=bool(getattr(cfg, "fused_mformer", 1)))
+                dtype=self.dtype)
         elif self.fusion_kind == "mean":
             from snag_tpu.ops.fusion import MeanFusion
             self.fusion = MeanFusion(modal_num=cfg.inner_view_num,

@@ -82,6 +82,22 @@ def _tiny_scores_ctx(q, k, v, M, dh, dropout, deterministic):
     return probs, ctx
 
 
+class LinParams(nn.Module):
+    """Parameter holder matching nn.Dense's tree ({kernel, bias}) for
+    layers that consume raw weight arrays (the folded-QKV matmul below)
+    while keeping the checkpoint tree identical to nn.Dense."""
+    fin: int
+    fout: int
+
+    @nn.compact
+    def __call__(self):
+        k = self.param("kernel", inits.torch_linear_kernel,
+                       (self.fin, self.fout))
+        b = self.param("bias", inits.torch_linear_bias(self.fin),
+                       (self.fout,))
+        return k, b
+
+
 def _tdense(features: int, in_features: int, name: str, dtype=jnp.float32):
     """Dense with torch nn.Linear default init at the REFERENCE's fan-in.
 
@@ -110,7 +126,6 @@ class BertSelfAttention(nn.Module):
 
     @nn.compact
     def __call__(self, hidden, *, deterministic: bool = True):
-        from snag_tpu.ops import fused_bert as fb
         d, H = self.hidden_size, self.num_heads
         assert d % H == 0
         dh = d // H
@@ -119,9 +134,9 @@ class BertSelfAttention(nn.Module):
         # one (d, 3d) matmul instead of three (d, d): hidden is read once
         # and the backward emits ONE weight-grad reduce + ONE dX matmul
         # (param tree unchanged — the holders mirror nn.Dense's scopes)
-        wq, bq = fb.LinParams(d, d, name="query")()
-        wk, bk = fb.LinParams(d, d, name="key")()
-        wv, bv = fb.LinParams(d, d, name="value")()
+        wq, bq = LinParams(d, d, name="query")()
+        wk, bk = LinParams(d, d, name="key")()
+        wv, bv = LinParams(d, d, name="value")()
         fold = FOLD_QKV if self.fold_qkv is None else self.fold_qkv
         if fold:
             wqkv = jnp.concatenate([wq, wk, wv], axis=1).astype(self.dtype)
@@ -155,48 +170,23 @@ class BertLayer(nn.Module):
     """Attention + residual LN (+ optional GELU intermediate) block
     (SNAG_tools.py:268-298); LN eps 1e-12, dropouts 0.1.
 
-    On TPU with a single head and <=6 modality tokens, the whole layer
-    runs as ONE fused Pallas launch per direction (forward and backward)
-    — see ops/fused_bert.py / ops/pallas/mformer_kernel.py.  The flax
-    parameter tree is identical in both branches.
+    A whole-layer fused Pallas kernel existed through round 3
+    (ops/pallas/mformer_kernel.py, 507 LoC) but never beat this XLA
+    path at any measured geometry (r3 A/B: 1L/1H 76.5 vs 74.4 ms,
+    2L/2H 93.7 vs 93.2 ms model fwd+bwd; r4 trace: the whole Mformer
+    block is 3.6 ms of the 37 ms step once batch_encode gathers rows
+    first), so it was deleted per VERDICT r3 item 4 — git cc8ad3f^
+    has the kernel and scripts/{ab,check}_fused if ever needed.
     """
     hidden_size: int
     num_heads: int
     intermediate_size: int
     use_intermediate: bool = True
     dtype: jnp.dtype = jnp.float32
-    fused: bool = True
     fold_qkv: Optional[bool] = None   # None = module default FOLD_QKV
 
     @nn.compact
     def __call__(self, hidden, *, deterministic: bool = True):
-        from snag_tpu.ops import fused_bert as fb
-        N, M, d = hidden.shape
-        if self.fused and fb.fused_available(self.num_heads, M):
-            (wq, bq), (wk, bk), (wv, bv) = fb.SelfAttnParams(
-                d, name="self")()
-            wo, bo = fb.LinParams(d, d, name="att_out")()
-            g1, be1 = fb.LNParams(d, name="att_ln")()
-            raws = [wq, bq, wk, bk, wv, bv, wo, bo, g1, be1]
-            if self.use_intermediate:
-                wi, bi = fb.LinParams(d, self.intermediate_size,
-                                      name="intermediate")()
-                wo2, bo2 = fb.LinParams(self.intermediate_size, d,
-                                        name="output")()
-                g2, be2 = fb.LNParams(d, name="out_ln")()
-                raws += [wi, bi, wo2, bo2, g2, be2]
-            training = not deterministic
-            if training:
-                key = self.make_rng("dropout")
-                seed = jax.random.randint(key, (), 0, np.int32(2 ** 31 - 1),
-                                          dtype=jnp.int32)
-            else:
-                seed = jnp.zeros((), jnp.int32)
-            out, probs = fb.fused_bert_layer(
-                hidden, tuple(raws), seed, M, d, self.intermediate_size,
-                bool(self.use_intermediate), training)
-            return out, probs[:, None, :, :]   # (N, H=1, M, M)
-
         ctx, probs = BertSelfAttention(
             self.hidden_size, self.num_heads, self.dtype,
             fold_qkv=self.fold_qkv, name="self")(
@@ -243,7 +233,6 @@ class MformerFusion(nn.Module):
     use_intermediate: bool = True
     with_fz: bool = True
     dtype: jnp.dtype = jnp.float32
-    fused: bool = True
 
     @nn.compact
     def __call__(self, embs: List[Optional[jnp.ndarray]], *,
@@ -258,7 +247,7 @@ class MformerFusion(nn.Module):
         for i in range(self.num_layers):
             hidden, probs = BertLayer(
                 self.hidden_size, self.num_heads, self.intermediate_size,
-                self.use_intermediate, self.dtype, fused=self.fused,
+                self.use_intermediate, self.dtype,
                 name=f"layer_{i}")(
                     hidden, deterministic=deterministic)
 
