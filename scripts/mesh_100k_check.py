@@ -26,7 +26,7 @@ os.environ.setdefault("JAX_PLATFORMS", "cpu")
 flags = os.environ.get("XLA_FLAGS", "")
 if "collective_call_terminate" not in flags:
     os.environ["XLA_FLAGS"] = (
-        flags + " --xla_cpu_collective_call_warn_stuck_seconds=600"
+        flags + " --xla_cpu_collective_call_warn_stuck_timeout_seconds=600"
         " --xla_cpu_collective_call_terminate_timeout_seconds=3600")
 import jax
 

@@ -101,6 +101,16 @@ class Graph:
     ct_n_tiles: int = 0
     ct_max_chunks: int = 0
     ct_n_spill: int = 0
+    # flat-grid work lists (tile_segment.py FLAT_GRID): one entry per real
+    # (tile, chunk) pair, uncapped — the kernels iterate exactly these
+    rt_flat_tile: np.ndarray = None   # (rt_n_flat,) int32
+    rt_flat_chunk: np.ndarray = None  # (rt_n_flat,) int32
+    rt_flat_first: np.ndarray = None  # (rt_n_flat,) int32 1 = tile's first
+    rt_n_flat: int = 0
+    ct_flat_tile: np.ndarray = None
+    ct_flat_chunk: np.ndarray = None
+    ct_flat_first: np.ndarray = None
+    ct_n_flat: int = 0
 
     @property
     def e_pad(self) -> int:
@@ -116,10 +126,13 @@ jax.tree_util.register_pytree_node(
                 g.col_tail_sel, g.col_tail_row, g.rt_chunk_base, g.rt_nc,
                 g.rt_spill_sel, g.rt_spill_row, g.ct_chunk_base, g.ct_nc,
                 g.ct_spill_sel, g.ct_spill_row, g.col_sorted, g.row_cs,
-                g.inv_col_order, g.mask_cs),
+                g.inv_col_order, g.mask_cs, g.rt_flat_tile, g.rt_flat_chunk,
+                g.rt_flat_first, g.ct_flat_tile, g.ct_flat_chunk,
+                g.ct_flat_first),
                (g.n_nodes, g.n_edges, g.gather_width, g.n_tail,
                 g.col_gather_width, g.rt_n_tiles, g.rt_max_chunks,
-                g.rt_n_spill, g.ct_n_tiles, g.ct_max_chunks, g.ct_n_spill)),
+                g.rt_n_spill, g.ct_n_tiles, g.ct_max_chunks, g.ct_n_spill,
+                g.rt_n_flat, g.ct_n_flat)),
     lambda aux, leaves: Graph(
         n_nodes=aux[0], n_edges=aux[1], row=leaves[0], col=leaves[1],
         w=leaves[2], mask=leaves[3], starts=leaves[4], deg=leaves[5],
@@ -132,7 +145,11 @@ jax.tree_util.register_pytree_node(
         ct_chunk_base=leaves[17], ct_nc=leaves[18], ct_spill_sel=leaves[19],
         ct_spill_row=leaves[20], ct_n_tiles=aux[8], ct_max_chunks=aux[9],
         ct_n_spill=aux[10], col_sorted=leaves[21], row_cs=leaves[22],
-        inv_col_order=leaves[23], mask_cs=leaves[24]),
+        inv_col_order=leaves[23], mask_cs=leaves[24],
+        rt_flat_tile=leaves[25], rt_flat_chunk=leaves[26],
+        rt_flat_first=leaves[27], ct_flat_tile=leaves[28],
+        ct_flat_chunk=leaves[29], ct_flat_first=leaves[30],
+        rt_n_flat=aux[11], ct_n_flat=aux[12]),
 )
 
 
@@ -258,7 +275,11 @@ def build_graph(n_nodes: int, triples: Sequence[Tuple[int, int, int]],
                  ct_chunk_base=ct.chunk_base, ct_nc=ct.nc,
                  ct_spill_sel=ct.spill_sel, ct_spill_row=ct.spill_row,
                  ct_n_tiles=ct.n_tiles, ct_max_chunks=ct.max_chunks,
-                 ct_n_spill=ct.n_spill)
+                 ct_n_spill=ct.n_spill,
+                 rt_flat_tile=rt.flat_tile, rt_flat_chunk=rt.flat_chunk,
+                 rt_flat_first=rt.flat_first, rt_n_flat=rt.n_flat,
+                 ct_flat_tile=ct.flat_tile, ct_flat_chunk=ct.flat_chunk,
+                 ct_flat_first=ct.flat_first, ct_n_flat=ct.n_flat)
 
 
 def dense_adjacency(g: Graph) -> np.ndarray:

@@ -27,6 +27,7 @@ import numpy as np
 from snag_tpu.ops.pallas.tile_segment import (TileStructure, _round_up,
                                               pallas_available,
                                               tile_weighted_segment_sum,
+                                              use_flat,
                                               xla_weighted_segment_sum)
 from snag_tpu.ops.pallas.gat_attention import (fused_gat_attention,
                                                xla_gat_attention, _leaky)
@@ -40,7 +41,9 @@ def _row_ts(graph) -> TileStructure:
         chunk_base=graph.rt_chunk_base, nc=graph.rt_nc,
         spill_sel=graph.rt_spill_sel, spill_row=graph.rt_spill_row,
         n_tiles=graph.rt_n_tiles, max_chunks=graph.rt_max_chunks,
-        n_spill=graph.rt_n_spill)
+        n_spill=graph.rt_n_spill, flat_tile=graph.rt_flat_tile,
+        flat_chunk=graph.rt_flat_chunk, flat_first=graph.rt_flat_first,
+        n_flat=graph.rt_n_flat)
 
 
 def _col_ts(graph) -> TileStructure:
@@ -48,7 +51,9 @@ def _col_ts(graph) -> TileStructure:
         chunk_base=graph.ct_chunk_base, nc=graph.ct_nc,
         spill_sel=graph.ct_spill_sel, spill_row=graph.ct_spill_row,
         n_tiles=graph.ct_n_tiles, max_chunks=graph.ct_max_chunks,
-        n_spill=graph.ct_n_spill)
+        n_spill=graph.ct_n_spill, flat_tile=graph.ct_flat_tile,
+        flat_chunk=graph.ct_flat_chunk, flat_first=graph.ct_flat_first,
+        n_flat=graph.ct_n_flat)
 
 
 def _reduce_edges(vals, keys, graph, use_row: bool):
@@ -155,7 +160,7 @@ def _bwd(res, cts):
         d_s_src = dss[:n, :h]
         d_x = dxd[:n, :c]
         d_s_dst = dxd[:n, c:c + h]
-        if ts.n_spill:
+        if ts.n_spill and not use_flat(ts):
             # edges past a tile's chunk cap: same math via the shared
             # edgewise helper on the few spilled rows, segment-summed in
             # (keys = the spilled edges' rows, already sorted)

@@ -37,7 +37,8 @@ import numpy as np
 
 from snag_tpu.ops.pallas.tile_segment import (CHUNK, E_LANES, R,
                                               TileStructure, _round_up,
-                                              pallas_available)
+                                              flat_scalars, pallas_available,
+                                              use_flat)
 
 try:
     from jax.experimental import pallas as pl
@@ -49,6 +50,40 @@ except Exception:  # pragma: no cover
 
 def _leaky(x):
     return jnp.where(x > 0, x, 0.2 * x)
+
+
+def _attn_body(t, row_ref, xg_ref, ssrc_ref, out_ref, rs_ref,
+               n_heads: int, c_pad: int, c_feat: int):
+    rows = row_ref[0].reshape(-1)                         # (CHUNK,)
+    local = rows - t * R                                  # -1 pad -> <0
+    cols = jax.lax.broadcasted_iota(jnp.int32, (CHUNK, R), 1)
+    match = local[:, None] == cols                        # (CHUNK, R)
+    oh = match.astype(xg_ref.dtype)
+
+    xg = xg_ref[...]                                      # (CHUNK, c_pad)
+    # s_src broadcast to edges: one-hot matmul against the tile block
+    ssrc_e = jax.lax.dot_general(
+        oh, ssrc_ref[...].astype(xg.dtype),
+        dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)               # (CHUNK, 128)
+    s_dst = xg[:, c_feat:c_feat + n_heads].astype(jnp.float32)
+    score = ssrc_e[:, :n_heads] + s_dst                   # (CHUNK, H)
+    e = jnp.exp(-_leaky(score))
+    # padded/out-of-tile edges matched no row -> zero via row mask
+    in_tile = jnp.any(match, axis=1)
+    e = jnp.where(in_tile[:, None], e, 0.0).astype(xg.dtype)
+
+    for h in range(n_heads):
+        ohw = oh * e[:, h][:, None]
+        part = jax.lax.dot_general(
+            ohw, xg, dimension_numbers=(((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)           # (R, c_pad)
+        out_ref[:, h * c_pad:(h + 1) * c_pad] += part
+    e_wide = jnp.pad(e, ((0, 0), (0, E_LANES - n_heads)))
+    rs_part = jax.lax.dot_general(
+        oh, e_wide, dimension_numbers=(((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)               # (R, 128)
+    rs_ref[...] += rs_part
 
 
 def _attn_kernel(cb_ref, nc_ref, row_ref, xg_ref, ssrc_ref, out_ref, rs_ref,
@@ -63,36 +98,23 @@ def _attn_kernel(cb_ref, nc_ref, row_ref, xg_ref, ssrc_ref, out_ref, rs_ref,
 
     @pl.when(c < nc_ref[t])
     def _():
-        rows = row_ref[0].reshape(-1)                         # (CHUNK,)
-        local = rows - t * R                                  # -1 pad -> <0
-        cols = jax.lax.broadcasted_iota(jnp.int32, (CHUNK, R), 1)
-        match = local[:, None] == cols                        # (CHUNK, R)
-        oh = match.astype(xg_ref.dtype)
+        _attn_body(t, row_ref, xg_ref, ssrc_ref, out_ref, rs_ref,
+                   n_heads, c_pad, c_feat)
 
-        xg = xg_ref[...]                                      # (CHUNK, c_pad)
-        # s_src broadcast to edges: one-hot matmul against the tile block
-        ssrc_e = jax.lax.dot_general(
-            oh, ssrc_ref[...].astype(xg.dtype),
-            dimension_numbers=(((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32)               # (CHUNK, 128)
-        s_dst = xg[:, c_feat:c_feat + n_heads].astype(jnp.float32)
-        score = ssrc_e[:, :n_heads] + s_dst                   # (CHUNK, H)
-        e = jnp.exp(-_leaky(score))
-        # padded/out-of-tile edges matched no row -> zero via row mask
-        in_tile = jnp.any(match, axis=1)
-        e = jnp.where(in_tile[:, None], e, 0.0).astype(xg.dtype)
 
-        for h in range(n_heads):
-            ohw = oh * e[:, h][:, None]
-            part = jax.lax.dot_general(
-                ohw, xg, dimension_numbers=(((0,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32)           # (R, c_pad)
-            out_ref[:, h * c_pad:(h + 1) * c_pad] += part
-        e_wide = jnp.pad(e, ((0, 0), (0, E_LANES - n_heads)))
-        rs_part = jax.lax.dot_general(
-            oh, e_wide, dimension_numbers=(((0,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32)               # (R, 128)
-        rs_ref[...] += rs_part
+def _attn_kernel_flat(ft_ref, fc_ref, ff_ref, row_ref, xg_ref, ssrc_ref,
+                      out_ref, rs_ref, *, n_heads: int, c_pad: int,
+                      c_feat: int):
+    i = pl.program_id(0)
+    t = ft_ref[i]
+
+    @pl.when(ff_ref[i] == 1)
+    def _():
+        out_ref[...] = jnp.zeros_like(out_ref)
+        rs_ref[...] = jnp.zeros_like(rs_ref)
+
+    _attn_body(t, row_ref, xg_ref, ssrc_ref, out_ref, rs_ref,
+               n_heads, c_pad, c_feat)
 
 
 def fused_gat_attention(
@@ -112,6 +134,37 @@ def fused_gat_attention(
     n_pad = ts.n_tiles * R
     ssrc_wide = jnp.zeros((n_pad, E_LANES), xc.dtype)
     ssrc_wide = ssrc_wide.at[:n_nodes, :n_heads].set(s_src.astype(xc.dtype))
+
+    if use_flat(ts):
+        out, rs = pl.pallas_call(
+            functools.partial(_attn_kernel_flat, n_heads=n_heads,
+                              c_pad=c_pad, c_feat=c_feat),
+            grid_spec=pltpu.PrefetchScalarGridSpec(
+                num_scalar_prefetch=3,
+                grid=(ts.n_flat,),
+                in_specs=[
+                    pl.BlockSpec((1, CHUNK // 128, 128),
+                                 lambda i, ft, fc, ff: (fc[i], 0, 0)),
+                    pl.BlockSpec((CHUNK, c_pad),
+                                 lambda i, ft, fc, ff: (fc[i], 0)),    # xc
+                    pl.BlockSpec((R, E_LANES),
+                                 lambda i, ft, fc, ff: (ft[i], 0)),    # s_src
+                ],
+                out_specs=[
+                    pl.BlockSpec((R, n_heads * c_pad),
+                                 lambda i, ft, fc, ff: (ft[i], 0)),
+                    pl.BlockSpec((R, E_LANES),
+                                 lambda i, ft, fc, ff: (ft[i], 0)),
+                ],
+            ),
+            out_shape=[
+                jax.ShapeDtypeStruct((n_pad, n_heads * c_pad), jnp.float32),
+                jax.ShapeDtypeStruct((n_pad, E_LANES), jnp.float32),
+            ],
+        )(*flat_scalars(ts), row_mat, xc, ssrc_wide)
+        # flat mode covers every chunk — no spill tail
+        return (out[:n_nodes].reshape(n_nodes, n_heads, c_pad)[:, :, :c_feat],
+                rs[:n_nodes, :n_heads])
 
     def idx_edges(t, c, cb, nc):
         return (jnp.minimum(cb[t] + c, n_chunks - 1), 0)

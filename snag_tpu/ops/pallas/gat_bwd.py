@@ -45,7 +45,8 @@ import jax.numpy as jnp
 import numpy as np
 
 from snag_tpu.ops.pallas.tile_segment import (CHUNK, R, TileStructure,
-                                              _round_up, pallas_available)
+                                              _round_up, flat_scalars,
+                                              pallas_available, use_flat)
 
 try:
     from jax.experimental import pallas as pl
@@ -89,6 +90,42 @@ def edgewise_bwd(ge, xgc, maskf, h: int, c: int):
     return e, d_score, d_xc
 
 
+def _bwd_body(t, krow_ref, gm_ref, xs_ref, xc_ref, gcol_ref, dss_ref,
+              dxd_ref, h: int, c: int, c_pad: int):
+    rows = krow_ref[0].reshape(-1)                       # (CHUNK,)
+    local = rows - t * R                                 # pad -1 -> <0
+    colsR = jax.lax.broadcasted_iota(jnp.int32, (CHUNK, R), 1)
+    match = local[:, None] == colsR                      # (CHUNK, R)
+    oh = match.astype(gm_ref.dtype)
+    maskf = jnp.any(match, axis=1).astype(jnp.float32)[:, None]
+
+    # forward direction: d_s_src[i] over out-edges (i -> k).
+    # [G | r | s_src][i] broadcast from the tile (one-hot matmul is an
+    # exact row copy for bf16), [x | s_dst][k] streamed (xc residual).
+    ge = jax.lax.dot_general(
+        oh, gm_ref[...], dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32).astype(gm_ref.dtype)
+    _, d_score_f, _ = edgewise_bwd(ge, xc_ref[...], maskf, h, c)
+    ds_wide = jnp.pad(d_score_f, ((0, 0), (0, 128 - h))).astype(oh.dtype)
+    dss_ref[...] += jax.lax.dot_general(
+        oh, ds_wide, dimension_numbers=(((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)              # (R, 128)
+
+    # reverse direction: the same edge stream read as (k -> j) gives
+    # d_x[j] / d_s_dst[j].  [G | r | s_src][k] streamed (col-indexed
+    # gather), [x | s_dst][j] broadcast from the tile.
+    xsb = jax.lax.dot_general(
+        oh, xs_ref[...], dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32).astype(xs_ref.dtype)
+    _, d_score_r, d_xr = edgewise_bwd(gcol_ref[...], xsb, maskf, h, c)
+    val = jnp.concatenate(
+        [d_xr, d_score_r.astype(d_xr.dtype),
+         jnp.zeros((CHUNK, c_pad - c - h), d_xr.dtype)], axis=1)
+    dxd_ref[...] += jax.lax.dot_general(
+        oh, val, dimension_numbers=(((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)              # (R, c_pad)
+
+
 def _bwd_row_kernel(cb_ref, nc_ref, krow_ref, gm_ref, xs_ref, xc_ref,
                     gcol_ref, dss_ref, dxd_ref, *, h: int, c: int,
                     c_pad: int):
@@ -102,38 +139,23 @@ def _bwd_row_kernel(cb_ref, nc_ref, krow_ref, gm_ref, xs_ref, xc_ref,
 
     @pl.when(cix < nc_ref[t])
     def _():
-        rows = krow_ref[0].reshape(-1)                       # (CHUNK,)
-        local = rows - t * R                                 # pad -1 -> <0
-        colsR = jax.lax.broadcasted_iota(jnp.int32, (CHUNK, R), 1)
-        match = local[:, None] == colsR                      # (CHUNK, R)
-        oh = match.astype(gm_ref.dtype)
-        maskf = jnp.any(match, axis=1).astype(jnp.float32)[:, None]
+        _bwd_body(t, krow_ref, gm_ref, xs_ref, xc_ref, gcol_ref,
+                  dss_ref, dxd_ref, h, c, c_pad)
 
-        # forward direction: d_s_src[i] over out-edges (i -> k).
-        # [G | r | s_src][i] broadcast from the tile (one-hot matmul is an
-        # exact row copy for bf16), [x | s_dst][k] streamed (xc residual).
-        ge = jax.lax.dot_general(
-            oh, gm_ref[...], dimension_numbers=(((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32).astype(gm_ref.dtype)
-        _, d_score_f, _ = edgewise_bwd(ge, xc_ref[...], maskf, h, c)
-        ds_wide = jnp.pad(d_score_f, ((0, 0), (0, 128 - h))).astype(oh.dtype)
-        dss_ref[...] += jax.lax.dot_general(
-            oh, ds_wide, dimension_numbers=(((0,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32)              # (R, 128)
 
-        # reverse direction: the same edge stream read as (k -> j) gives
-        # d_x[j] / d_s_dst[j].  [G | r | s_src][k] streamed (col-indexed
-        # gather), [x | s_dst][j] broadcast from the tile.
-        xsb = jax.lax.dot_general(
-            oh, xs_ref[...], dimension_numbers=(((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32).astype(xs_ref.dtype)
-        _, d_score_r, d_xr = edgewise_bwd(gcol_ref[...], xsb, maskf, h, c)
-        val = jnp.concatenate(
-            [d_xr, d_score_r.astype(d_xr.dtype),
-             jnp.zeros((CHUNK, c_pad - c - h), d_xr.dtype)], axis=1)
-        dxd_ref[...] += jax.lax.dot_general(
-            oh, val, dimension_numbers=(((0,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32)              # (R, c_pad)
+def _bwd_row_kernel_flat(ft_ref, fc_ref, ff_ref, krow_ref, gm_ref, xs_ref,
+                         xc_ref, gcol_ref, dss_ref, dxd_ref, *, h: int,
+                         c: int, c_pad: int):
+    i = pl.program_id(0)
+    t = ft_ref[i]
+
+    @pl.when(ff_ref[i] == 1)
+    def _():
+        dss_ref[...] = jnp.zeros_like(dss_ref)
+        dxd_ref[...] = jnp.zeros_like(dxd_ref)
+
+    _bwd_body(t, krow_ref, gm_ref, xs_ref, xc_ref, gcol_ref,
+              dss_ref, dxd_ref, h, c, c_pad)
 
 
 def fused_gat_backward_row(
@@ -151,6 +173,38 @@ def fused_gat_backward_row(
     e_pad, c_pad = xc.shape
     n_chunks = e_pad // CHUNK
     krow_mat = krow.astype(jnp.int32).reshape(n_chunks, CHUNK // 128, 128)
+
+    if use_flat(ts):
+        dss, dxd = pl.pallas_call(
+            functools.partial(_bwd_row_kernel_flat, h=n_heads, c=c_feat,
+                              c_pad=c_pad),
+            grid_spec=pltpu.PrefetchScalarGridSpec(
+                num_scalar_prefetch=3,
+                grid=(ts.n_flat,),
+                in_specs=[
+                    pl.BlockSpec((1, CHUNK // 128, 128),
+                                 lambda i, ft, fc, ff: (fc[i], 0, 0)),
+                    pl.BlockSpec((R, gm.shape[1]),
+                                 lambda i, ft, fc, ff: (ft[i], 0)),  # gm
+                    pl.BlockSpec((R, c_pad),
+                                 lambda i, ft, fc, ff: (ft[i], 0)),  # xs
+                    pl.BlockSpec((CHUNK, c_pad),
+                                 lambda i, ft, fc, ff: (fc[i], 0)),  # xc
+                    pl.BlockSpec((CHUNK, gm.shape[1]),
+                                 lambda i, ft, fc, ff: (fc[i], 0)),  # gcol
+                ],
+                out_specs=[
+                    pl.BlockSpec((R, 128), lambda i, ft, fc, ff: (ft[i], 0)),
+                    pl.BlockSpec((R, c_pad),
+                                 lambda i, ft, fc, ff: (ft[i], 0)),
+                ],
+            ),
+            out_shape=[
+                jax.ShapeDtypeStruct((ts.n_tiles * R, 128), jnp.float32),
+                jax.ShapeDtypeStruct((ts.n_tiles * R, c_pad), jnp.float32),
+            ],
+        )(*flat_scalars(ts), krow_mat, gm, xs, xc, gcol)
+        return dss, dxd
 
     def idx_edges(t, c, cb, nc):
         return (jnp.minimum(cb[t] + c, n_chunks - 1), 0)

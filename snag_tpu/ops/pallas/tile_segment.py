@@ -46,9 +46,23 @@ try:
 except Exception:  # pragma: no cover
     _PALLAS_IMPORTED = False
 
+import os as _os
+
 R = 128          # output rows per tile
-CHUNK = 512      # edges per streamed chunk
+# edges per streamed chunk: the kernels pay a fixed ~2.7 us per grid step
+# (measured via the flat-grid A/B), so bigger chunks amortize overhead at
+# the price of more boundary waste (each tile's edge range rounds to CHUNK)
+CHUNK = int(_os.environ.get("SNAG_GAT_CHUNK", "512"))
 E_LANES = 128    # lane width of the edge-weight array (H <= E_LANES)
+
+# Grid formulation for the segment/GAT kernels.  The original ("tiled")
+# grid is (n_tiles, max_chunks): rectangular, so tiles with fewer chunks
+# than the cap burn bubble steps with dummy DMAs (~31% of the grid at the
+# DBP15K bench graph: 940 steps for 646 real chunks), and tiles above the
+# cap spill to an XLA segment_sum tail.  The "flat" grid enumerates only
+# the real (tile, chunk) work items — no bubbles, no cap, no spill.
+# Module flag for in-process A/B (scripts/ab_gat_flat.py).
+FLAT_GRID = True
 
 
 def pallas_available() -> bool:
@@ -81,6 +95,13 @@ class TileStructure:
     n_tiles: int
     max_chunks: int
     n_spill: int
+    # flat-grid work list (uncapped — covers EVERY chunk incl. would-be
+    # spill, so flat mode never runs the spill tail); None on structures
+    # built before the flat grid existed (falls back to the tiled grid)
+    flat_tile: Optional[np.ndarray] = None   # (n_flat,) int32 tile id
+    flat_chunk: Optional[np.ndarray] = None  # (n_flat,) int32 chunk index
+    flat_first: Optional[np.ndarray] = None  # (n_flat,) 1 = tile's first
+    n_flat: int = 0
 
 
 def build_tile_structure(keys: np.ndarray, starts: np.ndarray, n_nodes: int,
@@ -116,10 +137,35 @@ def build_tile_structure(keys: np.ndarray, starts: np.ndarray, n_nodes: int,
     if n_spill:
         spill_sel[:n_spill] = sel
         spill_row[:n_spill] = keys[sel]
+
+    # flat work list: every real (tile, chunk) pair, uncapped.  A tile
+    # with zero chunks still emits one item (its rows match no edge in
+    # the dummy chunk, so the kernel writes a zero block) — every output
+    # tile must be visited exactly one consecutive run.
+    cb = (aligned // CHUNK).astype(np.int64)
+    nflat_t = np.maximum(needed, 1)
+    n_flat = int(nflat_t.sum())
+    flat_tile = np.repeat(np.arange(n_tiles, dtype=np.int32), nflat_t)
+    flat_chunk = (cb.repeat(nflat_t)
+                  + (np.arange(n_flat) -
+                     np.repeat(np.cumsum(nflat_t) - nflat_t, nflat_t))
+                  ).astype(np.int32)
+    n_chunks_total = max(e_pad // CHUNK, 1)
+    flat_chunk = np.minimum(flat_chunk, n_chunks_total - 1)
+    flat_first = np.zeros(n_flat, dtype=np.int32)
+    flat_first[np.cumsum(nflat_t) - nflat_t] = 1
+
     return TileStructure(chunk_base=(aligned // CHUNK).astype(np.int32),
                          nc=nc, spill_sel=spill_sel, spill_row=spill_row,
                          n_tiles=n_tiles, max_chunks=max_chunks,
-                         n_spill=n_spill)
+                         n_spill=n_spill, flat_tile=flat_tile,
+                         flat_chunk=flat_chunk, flat_first=flat_first,
+                         n_flat=n_flat)
+
+
+def use_flat(ts: TileStructure) -> bool:
+    """True when this call should run the flat grid (see FLAT_GRID)."""
+    return bool(FLAT_GRID and ts.n_flat and ts.flat_tile is not None)
 
 
 def _kernel(cb_ref, nc_ref, row_ref, xc_ref, e_ref, out_ref, rs_ref,
@@ -152,6 +198,39 @@ def _kernel(cb_ref, nc_ref, row_ref, xc_ref, e_ref, out_ref, rs_ref,
         rs_ref[...] += rs_part
 
 
+def _kernel_flat(ft_ref, fc_ref, ff_ref, row_ref, xc_ref, e_ref, out_ref,
+                 rs_ref, *, n_heads: int, c_pad: int):
+    i = pl.program_id(0)
+    t = ft_ref[i]
+
+    @pl.when(ff_ref[i] == 1)
+    def _():
+        out_ref[...] = jnp.zeros_like(out_ref)
+        rs_ref[...] = jnp.zeros_like(rs_ref)
+
+    rows = row_ref[0].reshape(-1)                             # (CHUNK,)
+    local = rows - t * R
+    cols = jax.lax.broadcasted_iota(jnp.int32, (CHUNK, R), 1)
+    oh = (local[:, None] == cols).astype(xc_ref.dtype)        # (CHUNK, R)
+    e = e_ref[...]                                            # (CHUNK, 128)
+    xc = xc_ref[...]                                          # (CHUNK, C)
+    for h in range(n_heads):
+        ohw = oh * e[:, h][:, None]
+        part = jax.lax.dot_general(
+            ohw, xc, dimension_numbers=(((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)               # (R, C)
+        out_ref[:, h * c_pad:(h + 1) * c_pad] += part
+    rs_part = jax.lax.dot_general(
+        oh, e, dimension_numbers=(((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)                   # (R, 128)
+    rs_ref[...] += rs_part
+
+
+def flat_scalars(ts: TileStructure):
+    return (jnp.asarray(ts.flat_tile), jnp.asarray(ts.flat_chunk),
+            jnp.asarray(ts.flat_first))
+
+
 def tile_weighted_segment_sum(
         xc: jnp.ndarray,          # (E_pad, C) bf16 — gathered neighbour rows
         e: jnp.ndarray,           # (E_pad, H) edge weights (0 on padding)
@@ -173,6 +252,37 @@ def tile_weighted_segment_sum(
     row_mat = row_sorted.astype(jnp.int32).reshape(
         e_pad // CHUNK, CHUNK // 128, 128)
     n_chunks = e_pad // CHUNK
+
+    if use_flat(ts):
+        out, rs = pl.pallas_call(
+            functools.partial(_kernel_flat, n_heads=h, c_pad=c_pad),
+            grid_spec=pltpu.PrefetchScalarGridSpec(
+                num_scalar_prefetch=3,
+                grid=(ts.n_flat,),
+                in_specs=[
+                    pl.BlockSpec((1, CHUNK // 128, 128),
+                                 lambda i, ft, fc, ff: (fc[i], 0, 0)),
+                    pl.BlockSpec((CHUNK, c_pad),
+                                 lambda i, ft, fc, ff: (fc[i], 0)),   # xc
+                    pl.BlockSpec((CHUNK, E_LANES),
+                                 lambda i, ft, fc, ff: (fc[i], 0)),   # e
+                ],
+                out_specs=[
+                    pl.BlockSpec((R, h * c_pad),
+                                 lambda i, ft, fc, ff: (ft[i], 0)),
+                    pl.BlockSpec((R, E_LANES),
+                                 lambda i, ft, fc, ff: (ft[i], 0)),
+                ],
+            ),
+            out_shape=[
+                jax.ShapeDtypeStruct((ts.n_tiles * R, h * c_pad),
+                                     jnp.float32),
+                jax.ShapeDtypeStruct((ts.n_tiles * R, E_LANES), jnp.float32),
+            ],
+        )(*flat_scalars(ts), row_mat, xc, e_wide)
+        # flat mode covers every chunk — no spill tail
+        return (out[:n_nodes].reshape(n_nodes, h, c_pad)[:, :, :c_in],
+                rs[:n_nodes, :h])
 
     cb = jnp.asarray(ts.chunk_base)
     nc = jnp.asarray(ts.nc)

@@ -58,7 +58,7 @@ def test_runner_mesh_matches_single_device_30k(tmp_path):
         os.environ["JAX_PLATFORMS"] = "cpu"
         os.environ["XLA_FLAGS"] = (
             "--xla_force_host_platform_device_count=8 "
-            "--xla_cpu_collective_call_warn_stuck_seconds=600 "
+            "--xla_cpu_collective_call_warn_stuck_timeout_seconds=600 "
             "--xla_cpu_collective_call_terminate_timeout_seconds=3600")
         import dataclasses
         import jax

@@ -37,7 +37,8 @@ def test_tile_structure_covers_all_edges():
     assert covered[g.mask].all()
 
 
-def test_weighted_segment_kernel_interpret_matches_xla():
+@pytest.mark.parametrize("flat", [False, True])
+def test_weighted_segment_kernel_interpret_matches_xla(flat):
     g = _graph(n=200, n_tri=700, seed=3)
     rng = np.random.default_rng(7)
     e_pad = g.e_pad
@@ -53,7 +54,9 @@ def test_weighted_segment_kernel_interpret_matches_xla():
     ts = tsg.TileStructure(
         chunk_base=g.rt_chunk_base, nc=g.rt_nc, spill_sel=g.rt_spill_sel,
         spill_row=g.rt_spill_row, n_tiles=g.rt_n_tiles,
-        max_chunks=g.rt_max_chunks, n_spill=g.rt_n_spill)
+        max_chunks=g.rt_max_chunks, n_spill=g.rt_n_spill,
+        flat_tile=g.rt_flat_tile, flat_chunk=g.rt_flat_chunk,
+        flat_first=g.rt_flat_first, n_flat=g.rt_n_flat)
 
     import unittest.mock as mock
     from jax.experimental import pallas as pl
@@ -63,7 +66,8 @@ def test_weighted_segment_kernel_interpret_matches_xla():
         k["interpret"] = True
         return orig(*a, **k)
 
-    with mock.patch.object(pl, "pallas_call", interp):
+    with mock.patch.object(pl, "pallas_call", interp), \
+            mock.patch.object(tsg, "FLAT_GRID", flat):
         got_agg, got_rs = tsg.tile_weighted_segment_sum(
             xc, e, jnp.asarray(g.row), ts, g.n_nodes)
 
