@@ -146,8 +146,9 @@ def _bwd(res, cts):
     krow = jnp.where(graph.mask, graph.row, -1).astype(jnp.int32)
 
     if FUSED_BWD and graph.rt_n_tiles and pallas_available():
+        from snag_tpu.ops.pallas.tile_segment import R as _R
         ts = _row_ts(graph)
-        n_pad = ts.n_tiles * 128
+        n_pad = ts.n_tiles * _R
         gm_full = jnp.pad(gm, ((0, n_pad - n), (0, 0)))
         # barrier: gm feeds the kernel tile, the col gather, and the spill
         # tail — without it XLA duplicates the concat into each consumer

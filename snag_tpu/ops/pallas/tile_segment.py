@@ -48,7 +48,7 @@ except Exception:  # pragma: no cover
 
 import os as _os
 
-R = 128          # output rows per tile
+R = int(_os.environ.get("SNAG_GAT_R", "128"))   # output rows per tile
 # edges per streamed chunk: the kernels pay a fixed ~2.7 us per grid step
 # (measured via the flat-grid A/B), so bigger chunks amortize overhead at
 # the price of more boundary waste (each tile's edge range rounds to CHUNK)
