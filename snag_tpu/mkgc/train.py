@@ -10,6 +10,7 @@ MRR, final filtered MRR/Hits@{1,3,10} on test.
 
 from __future__ import annotations
 
+import re
 import time
 from functools import partial
 from typing import Optional, Tuple
@@ -42,15 +43,25 @@ def prepare_mkgc_features(cfg: MKGCConfig, data: MKGCData) -> MKGCFeatures:
     return MKGCFeatures(visual=jnp.asarray(vis), textual=jnp.asarray(txt))
 
 
+# the exact top-level module scopes of MKGCModel that form the
+# fusion/projection stack (model.py setup()); matching on these instead of
+# path substrings means a future param whose name merely CONTAINS "proj"
+# or "gate" cannot silently change optimizer group
+_FUSION_SCOPES = frozenset(
+    ["vis_proj", "txt_proj", "vis_proj2", "txt_proj2", "gate",
+     "modal_weight"])
+_FUSION_SCOPE_RE = re.compile(r"fusion_\d+")
+
+
 def _fusion_label_tree(params):
     """Two optimizer groups: fusion/projection stack -> LRG, rest -> LR
-    (readme.md LR vs LRG)."""
+    (readme.md LR vs LRG).  Grouping is by the param's TOP-LEVEL module
+    scope, matched exactly against MKGCModel's setup() names."""
     flat = jax.tree_util.tree_flatten_with_path(params)[0]
 
     def label(path):
-        joined = "/".join(str(getattr(p, "key", p)) for p in path)
-        if ("fusion" in joined or "proj" in joined or "gate" in joined
-                or "modal_weight" in joined):
+        top = str(getattr(path[0], "key", path[0]))
+        if top in _FUSION_SCOPES or _FUSION_SCOPE_RE.fullmatch(top):
             return "fusion"
         return "main"
 
@@ -477,9 +488,35 @@ class MKGCRunner:
         self.logger.info(f"saving [{path}] done!")
         return path
 
+    def load_model(self, path: str):
+        """Load a params-only snapshot written by save_model (the
+        counterpart loader; full train-state resumes go through
+        utils.checkpoint.load_mkgc_checkpoint)."""
+        import flax.serialization
+        with open(path, "rb") as f:
+            params = flax.serialization.from_bytes(self.state.params, f.read())
+        self.state = MKGCState(params=params, opt_state=self.state.opt_state,
+                               step=self.state.step,
+                               base_key=self.state.base_key)
+        self.best_params = params
+        self.logger.info(f"loaded params from [{path}]")
+
     def run(self):
         cfg = self.cfg
         t0 = time.time()
+        if cfg.only_test and not cfg.resume_from:
+            # without loaded params --only_test would silently evaluate a
+            # randomly-initialized model; auto-load the save_model snapshot
+            # for this exp_id, or fail loudly
+            import os.path as osp
+            path = osp.join(cfg.data_path, cfg.data_choice, "save",
+                            f"{cfg.exp_id}.msgpack")
+            if osp.exists(path):
+                self.load_model(path)
+            else:
+                raise RuntimeError(
+                    f"--only_test 1 needs trained params: pass --resume_from "
+                    f"or train with --save_model first (looked for {path})")
         if not cfg.only_test:
             for epoch in range(self.start_epoch, cfg.epoch):
                 self.epoch = epoch

@@ -53,6 +53,14 @@ R = int(_os.environ.get("SNAG_GAT_R", "128"))   # output rows per tile
 # (measured via the flat-grid A/B), so bigger chunks amortize overhead at
 # the price of more boundary waste (each tile's edge range rounds to CHUNK)
 CHUNK = int(_os.environ.get("SNAG_GAT_CHUNK", "512"))
+if CHUNK <= 0 or CHUNK % 128:
+    raise ValueError(
+        f"SNAG_GAT_CHUNK={CHUNK}: must be a positive multiple of 128 "
+        "(edge chunks reshape to (CHUNK//128, 128) lanes)")
+if R <= 0 or R % 8:
+    raise ValueError(
+        f"SNAG_GAT_R={R}: must be a positive multiple of 8 "
+        "(output tiles must align to the f32 sublane count)")
 E_LANES = 128    # lane width of the edge-weight array (H <= E_LANES)
 
 # Grid formulation for the segment/GAT kernels.  The original ("tiled")

