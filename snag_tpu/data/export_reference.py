@@ -89,6 +89,14 @@ def export_reference_format(dest: str,
         split_dir = osp.join(dest, data_choice, "norm")
         pkl_path = osp.join(dest, "pkls",
                             f"{data_choice}_id_img_feature_dict{prefix}.pkl")
+    elif "V1" in data_split or "V2" in data_split:
+        # DWY: <dest>/DWY/dbp_wd_15k_V{1,2}/ but the reference's pickle
+        # switch keys on V1/V2 in the split DIR, so the image pickle lives
+        # under OpenEA/pkl/<choice>_... like the OEA families
+        # (src/data.py:158-163)
+        split_dir = osp.join(dest, data_choice, data_split)
+        pkl_path = osp.join(dest, "OpenEA", "pkl",
+                            f"{data_choice}_id_img_feature_dict{prefix}.pkl")
     else:
         split_dir = osp.join(dest, data_choice, data_split)
         pkl_path = osp.join(

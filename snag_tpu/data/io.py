@@ -85,10 +85,19 @@ def read_ent_names(path: str) -> List[Tuple[int, List[str]]]:
 
 def resolve_img_pickle(data_path: str, data_choice: str, data_split: str,
                        ratio: str = "1.0") -> str:
-    """Per-family image-pickle path resolution (src/data.py:155-172)."""
+    """Per-family image-pickle path resolution (src/data.py:155-172).
+
+    The reference keys on substrings of the SPLIT DIRECTORY (V1/V2/FB), not
+    the data_choice, so DWY's dbp_wd_15k_V1/V2 splits route through the
+    OpenEA/pkl/<choice>_... naming exactly like the OEA families do — only
+    the DBP15K language splits reach the <split>_GA_... fallback."""
     prefix = "" if ratio == "1.0" else f"_{ratio}"
     if "OEA" in data_choice:
+        file_dir = osp.join(data_path, "OpenEA", data_choice)
+    else:
+        file_dir = osp.join(data_path, data_choice, data_split)
+    if "V1" in file_dir or "V2" in file_dir:
         return osp.join(data_path, f"OpenEA/pkl/{data_choice}_id_img_feature_dict{prefix}.pkl")
-    if "FB" in data_choice:
+    if "FB" in file_dir:
         return osp.join(data_path, f"pkls/{data_choice}_id_img_feature_dict{prefix}.pkl")
     return osp.join(data_path, "pkls", data_split + f"_GA_id_img_feature_dict{prefix}.pkl")

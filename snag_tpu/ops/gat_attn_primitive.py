@@ -75,8 +75,9 @@ def _build_xg(x, s_dst):
     # the forward kernel's e-weighted aggregation dot produce rowsum_h as
     # out[:, h*c_pad + c + h] for free — no separate rowsum dot, no second
     # output buffer (the per-grid-step fixed cost is the GAT bottleneck,
-    # VERDICT r4 weak #1)
-    c_pad = _round_up(c + h + 1, 128)
+    # VERDICT r4 weak #1).  Width covers c + 2h so the backward kernel can
+    # pack [d_x | d_s_dst | d_s_src] into one output at the same c_pad.
+    c_pad = _round_up(max(c + h + 1, c + 2 * h), 128)
     # ONE concatenate fusion — zeros + .at[].set() lowers to repeated
     # dynamic-update-slice passes over the full array (profiled ~4 ms each
     # at (E, 384) scale in the backward)
@@ -161,11 +162,11 @@ def _bwd(res, cts):
         gcol = gm_full[graph.col]                    # (E, g_pad) by column
         xg, _ = _build_xg(x, s_dst)
         xs_full = jnp.pad(xg, ((0, n_pad - n), (0, 0)))
-        dss, dxd = fused_gat_backward_row(gm_full, xs_full, xc, gcol, krow,
-                                          ts, h, c)
-        d_s_src = dss[:n, :h]
+        dxd = fused_gat_backward_row(gm_full, xs_full, xc, gcol, krow,
+                                     ts, h, c)
         d_x = dxd[:n, :c]
         d_s_dst = dxd[:n, c:c + h]
+        d_s_src = dxd[:n, c + h:c + 2 * h]
         if ts.n_spill and not use_flat(ts):
             # edges past a tile's chunk cap: same math via the shared
             # edgewise helper on the few spilled rows, segment-summed in

@@ -52,7 +52,7 @@ def _leaky(x):
     return jnp.where(x > 0, x, 0.2 * x)
 
 
-def _attn_body(t, row_ref, xg_ref, ssrc_ref, out_ref, rs_ref,
+def _attn_body(t, row_ref, xg_ref, ssrc_ref, out_ref,
                n_heads: int, c_pad: int, c_feat: int):
     rows = row_ref[0].reshape(-1)                         # (CHUNK,)
     local = rows - t * R                                  # -1 pad -> <0
@@ -73,20 +73,18 @@ def _attn_body(t, row_ref, xg_ref, ssrc_ref, out_ref, rs_ref,
     in_tile = jnp.any(match, axis=1)
     e = jnp.where(in_tile[:, None], e, 0.0).astype(xg.dtype)
 
+    # xg column c_feat+n_heads is all-ones (gat_attn_primitive._build_xg),
+    # so each head's aggregation dot yields rowsum_h in that column for
+    # free — no separate rowsum dot, no second output buffer
     for h in range(n_heads):
         ohw = oh * e[:, h][:, None]
         part = jax.lax.dot_general(
             ohw, xg, dimension_numbers=(((0,), (0,)), ((), ())),
             preferred_element_type=jnp.float32)           # (R, c_pad)
         out_ref[:, h * c_pad:(h + 1) * c_pad] += part
-    e_wide = jnp.pad(e, ((0, 0), (0, E_LANES - n_heads)))
-    rs_part = jax.lax.dot_general(
-        oh, e_wide, dimension_numbers=(((0,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32)               # (R, 128)
-    rs_ref[...] += rs_part
 
 
-def _attn_kernel(cb_ref, nc_ref, row_ref, xg_ref, ssrc_ref, out_ref, rs_ref,
+def _attn_kernel(cb_ref, nc_ref, row_ref, xg_ref, ssrc_ref, out_ref,
                  *, n_heads: int, c_pad: int, c_feat: int):
     t = pl.program_id(0)
     c = pl.program_id(1)
@@ -94,16 +92,15 @@ def _attn_kernel(cb_ref, nc_ref, row_ref, xg_ref, ssrc_ref, out_ref, rs_ref,
     @pl.when(c == 0)
     def _():
         out_ref[...] = jnp.zeros_like(out_ref)
-        rs_ref[...] = jnp.zeros_like(rs_ref)
 
     @pl.when(c < nc_ref[t])
     def _():
-        _attn_body(t, row_ref, xg_ref, ssrc_ref, out_ref, rs_ref,
+        _attn_body(t, row_ref, xg_ref, ssrc_ref, out_ref,
                    n_heads, c_pad, c_feat)
 
 
 def _attn_kernel_flat(ft_ref, fc_ref, ff_ref, row_ref, xg_ref, ssrc_ref,
-                      out_ref, rs_ref, *, n_heads: int, c_pad: int,
+                      out_ref, *, n_heads: int, c_pad: int,
                       c_feat: int):
     i = pl.program_id(0)
     t = ft_ref[i]
@@ -111,14 +108,13 @@ def _attn_kernel_flat(ft_ref, fc_ref, ff_ref, row_ref, xg_ref, ssrc_ref,
     @pl.when(ff_ref[i] == 1)
     def _():
         out_ref[...] = jnp.zeros_like(out_ref)
-        rs_ref[...] = jnp.zeros_like(rs_ref)
 
-    _attn_body(t, row_ref, xg_ref, ssrc_ref, out_ref, rs_ref,
+    _attn_body(t, row_ref, xg_ref, ssrc_ref, out_ref,
                n_heads, c_pad, c_feat)
 
 
 def fused_gat_attention(
-        xc: jnp.ndarray,          # (E_pad, c_pad): [x | s_dst | 0][col]
+        xc: jnp.ndarray,          # (E_pad, c_pad): [x | s_dst | 1 | 0][col]
         s_src: jnp.ndarray,       # (N, H)
         krow: jnp.ndarray,        # (E_pad,) int32 row ids, -1 on padding
         ts: TileStructure,
@@ -126,7 +122,10 @@ def fused_gat_attention(
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Returns (agg (N, H, c_feat) f32, rowsum (N, H) f32).  ``xc`` is the
     col-gathered feature block in row-sorted edge order — materialized by
-    the caller once and shared with the backward as a VJP residual."""
+    the caller once and shared with the backward as a VJP residual.  Its
+    column ``c_feat + n_heads`` must be all-ones (_build_xg): the
+    aggregation dot then carries rowsum in that column of each head's
+    output block, so the kernel has ONE dot and ONE output per chunk."""
     e_pad, c_pad = xc.shape
     assert c_pad % 128 == 0 and e_pad % CHUNK == 0
     row_mat = krow.astype(jnp.int32).reshape(e_pad // CHUNK, CHUNK // 128, 128)
@@ -134,9 +133,10 @@ def fused_gat_attention(
     n_pad = ts.n_tiles * R
     ssrc_wide = jnp.zeros((n_pad, E_LANES), xc.dtype)
     ssrc_wide = ssrc_wide.at[:n_nodes, :n_heads].set(s_src.astype(xc.dtype))
+    rs_col = c_feat + n_heads
 
     if use_flat(ts):
-        out, rs = pl.pallas_call(
+        out = pl.pallas_call(
             functools.partial(_attn_kernel_flat, n_heads=n_heads,
                               c_pad=c_pad, c_feat=c_feat),
             grid_spec=pltpu.PrefetchScalarGridSpec(
@@ -150,26 +150,20 @@ def fused_gat_attention(
                     pl.BlockSpec((R, E_LANES),
                                  lambda i, ft, fc, ff: (ft[i], 0)),    # s_src
                 ],
-                out_specs=[
-                    pl.BlockSpec((R, n_heads * c_pad),
-                                 lambda i, ft, fc, ff: (ft[i], 0)),
-                    pl.BlockSpec((R, E_LANES),
-                                 lambda i, ft, fc, ff: (ft[i], 0)),
-                ],
+                out_specs=pl.BlockSpec((R, n_heads * c_pad),
+                                       lambda i, ft, fc, ff: (ft[i], 0)),
             ),
-            out_shape=[
-                jax.ShapeDtypeStruct((n_pad, n_heads * c_pad), jnp.float32),
-                jax.ShapeDtypeStruct((n_pad, E_LANES), jnp.float32),
-            ],
+            out_shape=jax.ShapeDtypeStruct((n_pad, n_heads * c_pad),
+                                           jnp.float32),
         )(*flat_scalars(ts), row_mat, xc, ssrc_wide)
         # flat mode covers every chunk — no spill tail
-        return (out[:n_nodes].reshape(n_nodes, n_heads, c_pad)[:, :, :c_feat],
-                rs[:n_nodes, :n_heads])
+        ob = out[:n_nodes].reshape(n_nodes, n_heads, c_pad)
+        return ob[:, :, :c_feat], ob[:, :, rs_col]
 
     def idx_edges(t, c, cb, nc):
         return (jnp.minimum(cb[t] + c, n_chunks - 1), 0)
 
-    out, rs = pl.pallas_call(
+    out = pl.pallas_call(
         functools.partial(_attn_kernel, n_heads=n_heads, c_pad=c_pad,
                           c_feat=c_feat),
         grid_spec=pltpu.PrefetchScalarGridSpec(
@@ -183,19 +177,15 @@ def fused_gat_attention(
                 pl.BlockSpec((R, E_LANES),
                              lambda t, c, cb, nc: (t, 0)),     # s_src tile
             ],
-            out_specs=[
-                pl.BlockSpec((R, n_heads * c_pad), lambda t, c, *_: (t, 0)),
-                pl.BlockSpec((R, E_LANES), lambda t, c, *_: (t, 0)),
-            ],
+            out_specs=pl.BlockSpec((R, n_heads * c_pad),
+                                   lambda t, c, *_: (t, 0)),
         ),
-        out_shape=[
-            jax.ShapeDtypeStruct((n_pad, n_heads * c_pad), jnp.float32),
-            jax.ShapeDtypeStruct((n_pad, E_LANES), jnp.float32),
-        ],
+        out_shape=jax.ShapeDtypeStruct((n_pad, n_heads * c_pad), jnp.float32),
     )(jnp.asarray(ts.chunk_base), jnp.asarray(ts.nc), row_mat, xc, ssrc_wide)
 
-    agg = out[:n_nodes].reshape(n_nodes, n_heads, c_pad)[:, :, :c_feat]
-    rowsum = rs[:n_nodes, :n_heads]
+    ob = out[:n_nodes].reshape(n_nodes, n_heads, c_pad)
+    agg = ob[:, :, :c_feat]
+    rowsum = ob[:, :, rs_col]
 
     if ts.n_spill:
         sel = jnp.asarray(ts.spill_sel)

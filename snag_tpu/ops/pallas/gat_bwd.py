@@ -90,7 +90,7 @@ def edgewise_bwd(ge, xgc, maskf, h: int, c: int):
     return e, d_score, d_xc
 
 
-def _bwd_body(t, krow_ref, gm_ref, xs_ref, xc_ref, gcol_ref, dss_ref,
+def _bwd_body(t, krow_ref, gm_ref, xs_ref, xc_ref, gcol_ref,
               dxd_ref, h: int, c: int, c_pad: int):
     rows = krow_ref[0].reshape(-1)                       # (CHUNK,)
     local = rows - t * R                                 # pad -1 -> <0
@@ -106,10 +106,6 @@ def _bwd_body(t, krow_ref, gm_ref, xs_ref, xc_ref, gcol_ref, dss_ref,
         oh, gm_ref[...], dimension_numbers=(((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32).astype(gm_ref.dtype)
     _, d_score_f, _ = edgewise_bwd(ge, xc_ref[...], maskf, h, c)
-    ds_wide = jnp.pad(d_score_f, ((0, 0), (0, 128 - h))).astype(oh.dtype)
-    dss_ref[...] += jax.lax.dot_general(
-        oh, ds_wide, dimension_numbers=(((0,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32)              # (R, 128)
 
     # reverse direction: the same edge stream read as (k -> j) gives
     # d_x[j] / d_s_dst[j].  [G | r | s_src][k] streamed (col-indexed
@@ -118,44 +114,46 @@ def _bwd_body(t, krow_ref, gm_ref, xs_ref, xc_ref, gcol_ref, dss_ref,
         oh, xs_ref[...], dimension_numbers=(((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32).astype(xs_ref.dtype)
     _, d_score_r, d_xr = edgewise_bwd(gcol_ref[...], xsb, maskf, h, c)
+    # all three gradients ride ONE reduce dot: d_score_f (the d_s_src
+    # cotangent) packs into the spare lanes after [d_xr | d_score_r]
+    # (c_pad >= c + 2h by _build_xg), saving a dot and a second output
+    # buffer per chunk
     val = jnp.concatenate(
-        [d_xr, d_score_r.astype(d_xr.dtype),
-         jnp.zeros((CHUNK, c_pad - c - h), d_xr.dtype)], axis=1)
+        [d_xr, d_score_r.astype(d_xr.dtype), d_score_f.astype(d_xr.dtype),
+         jnp.zeros((CHUNK, c_pad - c - 2 * h), d_xr.dtype)], axis=1)
     dxd_ref[...] += jax.lax.dot_general(
         oh, val, dimension_numbers=(((0,), (0,)), ((), ())),
         preferred_element_type=jnp.float32)              # (R, c_pad)
 
 
 def _bwd_row_kernel(cb_ref, nc_ref, krow_ref, gm_ref, xs_ref, xc_ref,
-                    gcol_ref, dss_ref, dxd_ref, *, h: int, c: int,
+                    gcol_ref, dxd_ref, *, h: int, c: int,
                     c_pad: int):
     t = pl.program_id(0)
     cix = pl.program_id(1)
 
     @pl.when(cix == 0)
     def _():
-        dss_ref[...] = jnp.zeros_like(dss_ref)
         dxd_ref[...] = jnp.zeros_like(dxd_ref)
 
     @pl.when(cix < nc_ref[t])
     def _():
         _bwd_body(t, krow_ref, gm_ref, xs_ref, xc_ref, gcol_ref,
-                  dss_ref, dxd_ref, h, c, c_pad)
+                  dxd_ref, h, c, c_pad)
 
 
 def _bwd_row_kernel_flat(ft_ref, fc_ref, ff_ref, krow_ref, gm_ref, xs_ref,
-                         xc_ref, gcol_ref, dss_ref, dxd_ref, *, h: int,
+                         xc_ref, gcol_ref, dxd_ref, *, h: int,
                          c: int, c_pad: int):
     i = pl.program_id(0)
     t = ft_ref[i]
 
     @pl.when(ff_ref[i] == 1)
     def _():
-        dss_ref[...] = jnp.zeros_like(dss_ref)
         dxd_ref[...] = jnp.zeros_like(dxd_ref)
 
     _bwd_body(t, krow_ref, gm_ref, xs_ref, xc_ref, gcol_ref,
-              dss_ref, dxd_ref, h, c, c_pad)
+              dxd_ref, h, c, c_pad)
 
 
 def fused_gat_backward_row(
@@ -166,16 +164,16 @@ def fused_gat_backward_row(
         krow: jnp.ndarray,     # (E_pad,) row ids, -1 padding
         ts: TileStructure,
         n_heads: int, c_feat: int,
-) -> Tuple[jnp.ndarray, jnp.ndarray]:
-    """Returns (dss (n_tiles*R, 128) f32 d_s_src tiles,
-    dxd (n_tiles*R, c_pad) f32 [d_x | d_s_dst] tiles); rt-spill edges are
-    NOT reduced — the caller's XLA tail adds them."""
+) -> jnp.ndarray:
+    """Returns dxd (n_tiles*R, c_pad) f32 [d_x | d_s_dst | d_s_src] tiles
+    (ONE packed output — all three gradients ride the same reduce dot);
+    rt-spill edges are NOT reduced — the caller's XLA tail adds them."""
     e_pad, c_pad = xc.shape
     n_chunks = e_pad // CHUNK
     krow_mat = krow.astype(jnp.int32).reshape(n_chunks, CHUNK // 128, 128)
 
     if use_flat(ts):
-        dss, dxd = pl.pallas_call(
+        return pl.pallas_call(
             functools.partial(_bwd_row_kernel_flat, h=n_heads, c=c_feat,
                               c_pad=c_pad),
             grid_spec=pltpu.PrefetchScalarGridSpec(
@@ -193,23 +191,17 @@ def fused_gat_backward_row(
                     pl.BlockSpec((CHUNK, gm.shape[1]),
                                  lambda i, ft, fc, ff: (fc[i], 0)),  # gcol
                 ],
-                out_specs=[
-                    pl.BlockSpec((R, 128), lambda i, ft, fc, ff: (ft[i], 0)),
-                    pl.BlockSpec((R, c_pad),
-                                 lambda i, ft, fc, ff: (ft[i], 0)),
-                ],
+                out_specs=pl.BlockSpec((R, c_pad),
+                                       lambda i, ft, fc, ff: (ft[i], 0)),
             ),
-            out_shape=[
-                jax.ShapeDtypeStruct((ts.n_tiles * R, 128), jnp.float32),
-                jax.ShapeDtypeStruct((ts.n_tiles * R, c_pad), jnp.float32),
-            ],
+            out_shape=jax.ShapeDtypeStruct((ts.n_tiles * R, c_pad),
+                                           jnp.float32),
         )(*flat_scalars(ts), krow_mat, gm, xs, xc, gcol)
-        return dss, dxd
 
     def idx_edges(t, c, cb, nc):
         return (jnp.minimum(cb[t] + c, n_chunks - 1), 0)
 
-    dss, dxd = pl.pallas_call(
+    return pl.pallas_call(
         functools.partial(_bwd_row_kernel, h=n_heads, c=c_feat, c_pad=c_pad),
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=2,
@@ -225,15 +217,8 @@ def fused_gat_backward_row(
                 pl.BlockSpec((CHUNK, c_pad), idx_edges),      # xc chunk
                 pl.BlockSpec((CHUNK, gm.shape[1]), idx_edges),  # gcol chunk
             ],
-            out_specs=[
-                pl.BlockSpec((R, 128), lambda t, c, *_: (t, 0)),
-                pl.BlockSpec((R, c_pad), lambda t, c, *_: (t, 0)),
-            ],
+            out_specs=pl.BlockSpec((R, c_pad), lambda t, c, *_: (t, 0)),
         ),
-        out_shape=[
-            jax.ShapeDtypeStruct((ts.n_tiles * R, 128), jnp.float32),
-            jax.ShapeDtypeStruct((ts.n_tiles * R, c_pad), jnp.float32),
-        ],
+        out_shape=jax.ShapeDtypeStruct((ts.n_tiles * R, c_pad), jnp.float32),
     )(jnp.asarray(ts.chunk_base), jnp.asarray(ts.nc), krow_mat, gm, xs, xc,
       gcol)
-    return dss, dxd

