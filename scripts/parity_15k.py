@@ -68,6 +68,24 @@ FLAGS = [
 
 RES_RE = re.compile(r"Res:\[([\d.]+)\t([\d.]+)\t([\d.]+)\]")
 
+# variant "il40" (VERDICT r4 next item 4): the IL-heavy regime — 40 epochs
+# means stage-2 runs epochs 6..39 with mining every epoch, FOUR promote
+# cycles (epochs 9/19/29/39, reference main.py:181) and seven train-pool
+# refreshes (%5, main.py:222), deep into pool drain-down.  ~3h on this
+# 1-core CPU for the reference side; minutes on TPU for ours.
+VARIANTS = {"": {}, "il40": {"--epoch": "40"}}
+
+
+def _flags(variant):
+    flags = list(FLAGS)
+    for k, v in VARIANTS[variant].items():
+        flags[flags.index(k) + 1] = v
+    return flags
+
+
+def _tag(variant):
+    return f"{variant}_" if variant else ""
+
 
 def export(root):
     from snag_tpu.data.export_reference import export_reference_format
@@ -84,38 +102,42 @@ def export(root):
     return data_root
 
 
-def run_ref(root, seed):
+def run_ref(root, seed, variant=""):
     data_root = osp.join(root, "data")
-    log = osp.join(root, f"ref_{seed}.log")
+    log = osp.join(root, f"ref_{_tag(variant)}{seed}.log")
     env = dict(os.environ)
     env.pop("JAX_PLATFORMS", None)
     t0 = time.time()
     with open(log, "w") as f:
         proc = subprocess.run(
             [sys.executable, osp.join(REPO, "scripts", "run_reference_cpu.py"),
-             *FLAGS, "--random_seed", str(seed), "--data_path", data_root,
-             "--workers", "1", "--exp_name", "p15k", "--exp_id", f"R{seed}",
+             *_flags(variant), "--random_seed", str(seed),
+             "--data_path", data_root,
+             "--workers", "1", "--exp_name", "p15k",
+             "--exp_id", f"R{_tag(variant)}{seed}",
              "--dump_path", osp.join(root, "refdump")],
             stdout=f, stderr=subprocess.STDOUT, env=env)
     out = open(log).read()
     m = RES_RE.findall(out)
     ok = proc.returncode == 0 and m
-    print(f"ref seed {seed}: rc={proc.returncode} "
+    print(f"ref {_tag(variant)}seed {seed}: rc={proc.returncode} "
           f"wall={(time.time()-t0)/60:.0f}min "
           f"final={m[-1] if m else None} log={log}")
     return float(m[-1][2]) if ok else None
 
 
-def run_ours(root, seed):
+def run_ours(root, seed, variant=""):
     data_root = osp.join(root, "data")
-    log = osp.join(root, f"ours_{seed}.log")
+    log = osp.join(root, f"ours_{_tag(variant)}{seed}.log")
     env = dict(os.environ)
     t0 = time.time()
     with open(log, "w") as f:
         proc = subprocess.run(
             [sys.executable, "-m", "snag_tpu.cli.train_mmea",
-             *FLAGS, "--random_seed", str(seed), "--data_path", data_root,
-             "--workers", "1", "--exp_name", "p15k", "--exp_id", f"S{seed}",
+             *_flags(variant), "--random_seed", str(seed),
+             "--data_path", data_root,
+             "--workers", "1", "--exp_name", "p15k",
+             "--exp_id", f"S{_tag(variant)}{seed}",
              "--no_tensorboard",
              "--dump_path", osp.join(root, "oursdump")],
             stdout=f, stderr=subprocess.STDOUT, env=env,
@@ -123,7 +145,7 @@ def run_ours(root, seed):
     out = open(log).read()
     m = RES_RE.findall(out)
     ok = proc.returncode == 0 and m
-    print(f"ours seed {seed}: rc={proc.returncode} "
+    print(f"ours {_tag(variant)}seed {seed}: rc={proc.returncode} "
           f"wall={(time.time()-t0)/60:.0f}min "
           f"final={m[-1] if m else None} log={log}")
     return float(m[-1][2]) if ok else None
@@ -158,14 +180,15 @@ def main():
     p.add_argument("stage", choices=["export", "ref", "ours", "report"])
     p.add_argument("--seed", type=int, default=3408)
     p.add_argument("--root", default="/tmp/parity15k")
+    p.add_argument("--variant", default="", choices=sorted(VARIANTS))
     a = p.parse_args()
     os.makedirs(a.root, exist_ok=True)
     if a.stage == "export":
         export(a.root)
     elif a.stage == "ref":
-        run_ref(a.root, a.seed)
+        run_ref(a.root, a.seed, a.variant)
     elif a.stage == "ours":
-        run_ours(a.root, a.seed)
+        run_ours(a.root, a.seed, a.variant)
     else:
         report(a.root)
 

@@ -108,3 +108,29 @@ def initialize_exp(cfg, logger_name: str = "snag_tpu") -> logging.Logger:
     logger.info(f"The experiment will be stored in {dump}\n")
     logger.info("Running command: %s" % " ".join(sys.argv))
     return logger
+
+
+def get_code_version(short_sha: bool = True):
+    """Current git commit sha of the working tree, or None outside a repo
+    (torchlight/utils.py:126-137 — unused by the reference's own main path,
+    kept for harness API parity)."""
+    import subprocess
+    try:
+        sha = subprocess.check_output(
+            ["git", "rev-parse", "HEAD"], stderr=subprocess.STDOUT,
+            cwd=osp.dirname(osp.abspath(__file__)), encoding="utf-8").strip()
+        return sha[:7] if short_sha else sha
+    except (subprocess.CalledProcessError, OSError):
+        return None
+
+
+def snapshot(params, model_name: str, epoch: int, save_path: str) -> str:
+    """Params-only snapshot `<save_path>/<model_name>_<epoch>_epoch.msgpack`
+    (torchlight/utils.py:61-74's model-state dump, flax-serialized instead
+    of torch.save).  Load with flax.serialization.from_bytes(template, ...)."""
+    import flax.serialization
+    os.makedirs(save_path, exist_ok=True)
+    path = osp.join(save_path, f"{model_name}_{epoch}_epoch.msgpack")
+    with open(path, "wb") as f:
+        f.write(flax.serialization.to_bytes(params))
+    return path

@@ -111,3 +111,23 @@ def test_fused_eval_matches_standard(synth_cfg, synth_data, monkeypatch):
     assert abs(res_fused.mrr_l2r - res_std.mrr_l2r) < 1e-4
     assert abs(res_fused.mrr_r2l - res_std.mrr_r2l) < 1e-4
     assert abs(res_fused.mr_l2r - res_std.mr_l2r) < 1e-2
+
+
+def test_torchlight_helpers(tmp_path):
+    """get_code_version / snapshot harness helpers (torchlight/utils.py:
+    61-74,126-137 — API-parity one-liners, unused by the main path)."""
+    import flax.serialization
+    import jax.numpy as jnp
+    from snag_tpu.utils.logging import get_code_version, snapshot
+
+    sha = get_code_version()
+    assert sha is None or (isinstance(sha, str) and len(sha) == 7)
+    assert get_code_version(short_sha=False) is None or len(
+        get_code_version(short_sha=False)) == 40
+
+    params = {"w": jnp.arange(4.0), "b": jnp.zeros((2,))}
+    path = snapshot(params, "SNAG", 7, str(tmp_path / "snaps"))
+    assert path.endswith("SNAG_7_epoch.msgpack")
+    loaded = flax.serialization.from_bytes(params, open(path, "rb").read())
+    np.testing.assert_array_equal(np.asarray(loaded["w"]),
+                                  np.asarray(params["w"]))
