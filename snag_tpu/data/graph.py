@@ -30,6 +30,15 @@ import numpy as np
 EDGE_PAD_MULTIPLE = 1024
 
 
+def _edge_pad_multiple() -> int:
+    """Edge arrays must pad to a multiple of the kernel CHUNK (the Pallas
+    block specs partition them in CHUNK units); lcm with the default keeps
+    non-power-of-two SNAG_GAT_CHUNK overrides (e.g. 768) working."""
+    import math
+    from snag_tpu.ops.pallas.tile_segment import CHUNK
+    return EDGE_PAD_MULTIPLE * CHUNK // math.gcd(EDGE_PAD_MULTIPLE, CHUNK)
+
+
 def _round_up(x: int, m: int) -> int:
     return ((x + m - 1) // m) * m
 
@@ -172,7 +181,7 @@ def _csr_structure(keys: np.ndarray, n_nodes: int, e_pad: int):
 
 
 def build_graph(n_nodes: int, triples: Sequence[Tuple[int, int, int]],
-                pad_multiple: int = EDGE_PAD_MULTIPLE) -> Graph:
+                pad_multiple: int = 0) -> Graph:
     """Build the normalized, padded, row-sorted edge list from raw triples."""
     # multiplicity-weighted undirected pairs, h != t (get_adjr).  Keyed
     # UNDIRECTED: the reference mirrors its directed dict into both
@@ -220,7 +229,7 @@ def build_graph(n_nodes: int, triples: Sequence[Tuple[int, int, int]],
 
     # +1 guarantees at least one zero padding edge: the CSR gather's
     # over-degree slots and tail padding point at e_pad-1
-    e_pad = _round_up(n_real + 1, pad_multiple)
+    e_pad = _round_up(n_real + 1, pad_multiple or _edge_pad_multiple())
     row_p = np.zeros(e_pad, dtype=np.int32)
     col_p = np.zeros(e_pad, dtype=np.int32)
     w_p = np.zeros(e_pad, dtype=np.float32)

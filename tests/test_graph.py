@@ -44,3 +44,21 @@ def test_spmm_matches_dense():
                jnp.asarray(x))
     want = dense_adjacency(g) @ x
     np.testing.assert_allclose(np.asarray(out), want, atol=1e-4)
+
+
+def test_default_pad_multiple_tracks_kernel_chunk(monkeypatch):
+    """Edge arrays must land on a multiple of the Pallas CHUNK: the GAT
+    kernels' block specs slice edges in CHUNK units, so a SNAG_GAT_CHUNK
+    override that does not divide 1024 (e.g. 768) needs lcm padding."""
+    import snag_tpu.ops.pallas.tile_segment as ts
+    from snag_tpu.data.graph import _edge_pad_multiple
+
+    monkeypatch.setattr(ts, "CHUNK", 512)
+    assert _edge_pad_multiple() == 1024
+    monkeypatch.setattr(ts, "CHUNK", 768)
+    assert _edge_pad_multiple() == 3072
+
+    monkeypatch.setattr(ts, "CHUNK", 768)
+    triples = [(i, 0, (i + 1) % 9) for i in range(9)]
+    g = build_graph(9, triples)
+    assert g.row.shape[0] % 768 == 0 and g.row.shape[0] % 1024 == 0
