@@ -119,3 +119,51 @@ def test_15k_il_protocol_executed():
         assert osp.exists(log), f"{log} missing"
         text = open(log).read()
         assert "[epoch 9]" in text and "candidate set" in text, side
+
+
+def test_15k_il_heavy_40epoch():
+    """IL-heavy co-run (VERDICT r4 next item 4): 40 epochs at the same
+    geometry — stage 2 runs epochs 6..39 with mining every epoch, FOUR
+    promote cycles (epochs 9/19/29/39) and seven train-pool refreshes,
+    deep into pool drain-down.  Gates on the `--variant il40` artifacts
+    (fresh under ROOT, else committed); single seed (the reference side
+    costs ~3.4 h of 1-core CPU).
+
+    Gate: final-MRR within the 4K-calibrated per-seed spread (0.035), and
+    the eval-by-eval trajectory must not diverge: each of the last three
+    common eval epochs within 0.06 (trajectory tolerance of the 800-entity
+    oracle, test_reference_parity_e2e.py).
+    """
+    seed = 3408
+
+    def _p(side):
+        fresh = osp.join(ROOT, f"{side}_il40_{seed}.log")
+        if osp.exists(fresh) and _final_mrr(fresh) is not None:
+            return fresh
+        return osp.join(COMMITTED, f"{side}_il40_{seed}.log")
+
+    for side in ("ref", "ours"):
+        assert osp.exists(_p(side)), (
+            f"il40 artifact missing: {_p(side)} — run scripts/parity_15k.py "
+            f"{side} --seed {seed} --variant il40")
+
+    ref_final, our_final = _final_mrr(_p("ref")), _final_mrr(_p("ours"))
+    assert ref_final is not None and our_final is not None
+    assert 0.5 < ref_final < 0.98, f"oracle saturated/broken: {ref_final}"
+    assert our_final >= ref_final - 0.035, (our_final, ref_final)
+
+    # eval-by-eval trajectory: "Ep <n> | l2r: ... mrr = X" lines
+    traj_re = re.compile(r"Ep (\d+) \| l2r:.*mrr = ([\d.]+)")
+    ref_tr = dict((int(e), float(m))
+                  for e, m in traj_re.findall(open(_p("ref")).read()))
+    our_tr = dict((int(e), float(m))
+                  for e, m in traj_re.findall(open(_p("ours")).read()))
+    common = sorted(set(ref_tr) & set(our_tr))
+    assert len(common) >= 5, (sorted(ref_tr), sorted(our_tr))
+    for ep in common[-3:]:
+        assert abs(our_tr[ep] - ref_tr[ep]) < 0.06, (ep, our_tr[ep], ref_tr[ep])
+
+    # both sides must show repeated promotion into pool drain-down
+    for side in ("ref", "ours"):
+        text = open(_p(side)).read()
+        assert text.count("new_links_select") >= 3, side
