@@ -259,26 +259,44 @@ def _bench_mmea(cfg):
             full_rank_eval(els[i], er, use_csls=True, csls_k=3)
         eval_ms = (time.perf_counter() - t0) * 1000 / n_rep
 
-    # device-side eval latency, dispatch-free: K dependent repeats chained
-    # in one lax.scan program (the streaming rank kernels are jit-safe)
-    from snag_tpu.ops.pallas.rank_eval import rank_eval_ok, \
-        streaming_rank_eval
+    # device-side eval latency: marginal cost of one more eval inside one
+    # dispatch.  A K-iteration lax.scan chain (the r3/r4 method) reads
+    # ~27 ms/iter at this geometry while a single synced dispatch costs
+    # ~43.5 ms and TWO dependent evals in one dispatch cost exactly 2x one
+    # (measured 2026-08-20: 43.5 / 87.3) — i.e. the scan number is
+    # amortized back-to-back THROUGHPUT (cross-iteration pipelining /
+    # hoisting), not the latency an IL-protocol eval actually pays.  So:
+    # eval_dev_ms = (wall of K dependent evals - wall of 1) / (K - 1),
+    # which cancels dispatch + readback and cannot pipeline across
+    # dispatches.  np.asarray is the sync — block_until_ready does not
+    # reliably block through the axon tunnel (memory: axon-timing).
     eval_dev_ms = None
     if rank_eval_ok():
-        k_rep = 20
+        from snag_tpu.eval.ranking import metrics_from_ranks_device
+        k_rep = 3
 
         @jax.jit
-        def eval_chain(el, er):
-            def body(carry, i):
-                ra, rb, _ = streaming_rank_eval(el + carry * 1e-9, er,
-                                                3, True, False)
-                return (ra.sum() + rb.sum()).astype(jnp.float32) * 1e-9, None
-            out, _ = jax.lax.scan(body, jnp.float32(0), jnp.arange(k_rep))
-            return out
-        jax.block_until_ready(eval_chain(el, er))
-        t0 = time.perf_counter()
-        jax.block_until_ready(eval_chain(el, er))
-        eval_dev_ms = round((time.perf_counter() - t0) / k_rep * 1000, 2)
+        def eval_multi(el, er):
+            ms = []
+            for i in range(k_rep):
+                rl, rr, _ = streaming_rank_eval(el, er, 3, True, False)
+                ms.append(metrics_from_ranks_device(rl, rr))
+                el = el + ms[-1][0] * 1e-12     # serialize the repeats
+            return ms
+
+        def timed(fn, arg):
+            jax.tree_util.tree_map(np.asarray, fn(arg, er))  # compile
+            ts = []
+            for i in range(3):
+                a = jax.block_until_ready(perturb(arg, jnp.float32(i * 1e-7)))
+                t0 = time.perf_counter()
+                jax.tree_util.tree_map(np.asarray, fn(a, er))
+                ts.append(time.perf_counter() - t0)
+            return sorted(ts)[1] * 1000
+
+        w1 = timed(eval_fused, els[0])
+        wk = timed(eval_multi, els[0])
+        eval_dev_ms = round((wk - w1) / (k_rep - 1), 2)
 
     return {"steps_per_sec": steps_per_sec, "epoch_ms": epoch_ms,
             "eval_ms": eval_ms, "eval_dev_ms": eval_dev_ms}
